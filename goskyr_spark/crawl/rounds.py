@@ -1,0 +1,369 @@
+"""Checkpointed crawl rounds (the north_rule core).
+
+Each round is ONE DataFrame job pipeline over warehouse tables:
+
+    frontier ─ robots/scheme admission ─ bloom+exact anti-join vs seen
+             ─ salted per-host budgeted top-k (politeness)
+             ─ "fetch" (join against the pages table — the sandbox stand-in
+                for the HTTP fetch stage; at production the same join keys
+                a mapInPandas fetch per host partition)
+             ─ parse_pages UDF (records + paginator/detail/link outlinks)
+             ─ MERGE: records out, seen += selected, blooms |= selected,
+               next frontier = budget-overflow carryover ∪ admitted new URLs
+
+State layout (parquet snapshots; on a production cluster these are
+Iceberg tables and each round is one Iceberg snapshot — the layout keeps
+that discipline: append-only deltas + a manifest as the atomic commit):
+
+    {warehouse}/frontier/round=N/   pending URLs entering round N
+    {warehouse}/selected/round=N/   visit log (host, visit_rank) — ordering
+    {warehouse}/records/round=N/    extracted records (goskyr Records)
+    {warehouse}/seen/round=N/       seen-hash delta
+    {warehouse}/blooms/round=N/     bloom bitsets after round N
+    {warehouse}/counters/round=N/   per-partition per-stage lineage counts
+    {warehouse}/manifest/round=N.json  commit marker (written LAST)
+
+A killed job resumes from the last round whose manifest exists —
+``CrawlRun.resume_round()`` — without re-fetching anything
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics"). The reference gets resume implicitly from its page cache
+(``/root/reference/docs/design/design_overview.md:1310-1315``); here it
+is explicit and distributed.
+
+goskyr visit-order equivalence: priorities are classed so that a
+single-host, budget-limited crawl visits pages in exactly the order of
+goskyr's sequential loop — pagination chain first in order
+(``/root/reference/scrape/scrape.go:647-674``), then detail pages in
+record order (``scrape/scrape.go:2327-2403``); verified in
+tests/test_crawl_rounds.py against an instrumented reference-parity
+sequential scrape."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..extract.urlutil import canonical_url, registrable_domain, host_of
+from ..spark import schemas
+from ..spark.extract_udf import explode_records, parse_pages
+from .bloom import BloomSpec, empty_blooms, filter_unseen, merge_blooms
+from .politeness import carryover, select_under_budget
+from .robots import admit_robots, host_budgets
+
+# priority classes: pagination continues the seed's BFS chain; detail pages
+# follow all list pages of their host (goskyr's order); generic links last.
+DETAIL_BASE = 1_000_000.0
+LINK_BASE = 2_000_000.0
+
+FRONTIER_B = T.StructType(
+    list(schemas.FRONTIER.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+)
+
+_SKIP_EXT = (
+    ".avif", ".gif", ".jfif", ".jpeg", ".jpg", ".mp3", ".mp4",
+    ".pdf", ".png", ".webp", ".zip", ".css", ".js", ".ico", ".svg",
+)
+
+
+@F.pandas_udf(T.StringType())
+def canonical_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonical_url)
+
+
+@F.pandas_udf(T.StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of)
+
+
+@F.pandas_udf(T.StringType())
+def domain_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(registrable_domain)
+
+
+def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
+                depth_col="depth", round_id: int = 0) -> DataFrame:
+    """urls(url, priority, depth) → FRONTIER rows: canonicalize, hash,
+    host/domain keys, per-URL dedup keeping the best (lowest) priority."""
+    df = (
+        urls.withColumn("url", canonical_url_udf("url"))
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", host_udf("url"))
+        .withColumn("domain", domain_udf("host"))
+        .withColumn("priority", F.col(priority_col).cast("double"))
+        .withColumn("depth", F.col(depth_col).cast("int"))
+        .withColumn("round_added", F.lit(round_id).cast("int"))
+    )
+    return df.groupBy("url_hash").agg(
+        F.min_by(F.struct(*[f.name for f in schemas.FRONTIER.fields]), F.struct("priority", "url")).alias("s")
+    ).select("s.*")
+
+
+def admission_filter(frontier: DataFrame) -> DataFrame:
+    """Scheme whitelist + media-extension blacklist
+    (``/root/reference/scrape/scrape.go:2308-2323``) — pure Catalyst
+    expressions so the filter pushes into the scan."""
+    path = F.lower(F.parse_url(F.col("url"), F.lit("PATH")))
+    ext_ok = ~path.rlike("\\.(" + "|".join(e[1:] for e in _SKIP_EXT) + ")$")
+    scheme_ok = F.col("url").startswith("http://") | F.col("url").startswith("https://")
+    return frontier.filter(scheme_ok & ext_ok)
+
+
+def partition_counters(df: DataFrame, round_id: int, stage: str) -> DataFrame:
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(round_id).cast("int").alias("round_id"),
+            F.col("partition_id").cast("int"),
+            F.lit(stage).alias("stage"),
+            F.col("n").cast("long"),
+        )
+    )
+
+
+class CrawlRun:
+    """Driver for a checkpointed multi-round crawl over a pages table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        pages: DataFrame,
+        config_yaml: str,
+        robots: DataFrame | None = None,
+        bloom_spec: BloomSpec | None = None,
+        default_budget: int = 32,
+        round_seconds: float = 60.0,
+        n_salts: int = 8,
+        follow_links: bool = False,
+        user_agent: str = "goskyr",
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.pages = pages
+        self.config_yaml = config_yaml
+        self.robots = robots
+        self.spec = bloom_spec or BloomSpec()
+        self.default_budget = default_budget
+        self.n_salts = n_salts
+        self.follow_links = follow_links
+        self.user_agent = user_agent
+        self.budgets = (
+            host_budgets(robots, user_agent, round_seconds, default_budget)
+            if robots is not None
+            else None
+        )
+
+    # ---- paths ----
+    def _p(self, table: str, rnd: int) -> str:
+        return os.path.join(self.warehouse, table, f"round={rnd}")
+
+    def _manifest(self, rnd: int) -> str:
+        return os.path.join(self.warehouse, "manifest", f"round={rnd}.json")
+
+    def resume_round(self) -> int:
+        """First round that has NOT committed (manifest = atomic marker)."""
+        rnd = 0
+        while os.path.exists(self._manifest(rnd)):
+            rnd += 1
+        return rnd
+
+    # ---- state io ----
+    def _read(self, table: str, rnd: int, schema) -> DataFrame:
+        p = self._p(table, rnd)
+        if os.path.exists(p):
+            return self.spark.read.schema(schema).parquet(p)
+        return self.spark.createDataFrame([], schema)
+
+    def _seen_all(self, upto: int) -> DataFrame:
+        paths = [self._p("seen", r) for r in range(upto + 1) if os.path.exists(self._p("seen", r))]
+        if not paths:
+            return self.spark.createDataFrame([], schemas.SEEN)
+        return self.spark.read.schema(schemas.SEEN).parquet(*paths)
+
+    def init(self, seed_urls: list[str]) -> None:
+        """Round-0 frontier from the seed list; seeds get priorities
+        0..n-1 in list order (goskyr takes seeds in order)."""
+        rows = [(u, float(i), 0) for i, u in enumerate(seed_urls)]
+        seeds = self.spark.createDataFrame(rows, "url string, priority double, depth int")
+        frontier = to_frontier(seeds, self.spec, round_id=0).withColumn(
+            "bucket", self.spec.bucket_col(F.col("url_hash"))
+        )
+        frontier.write.mode("overwrite").parquet(self._p("frontier", 0))
+        os.makedirs(os.path.join(self.warehouse, "manifest"), exist_ok=True)
+
+    def run_round(self, rnd: int) -> dict:
+        t0 = time.time()
+        spark, spec = self.spark, self.spec
+        frontier = self._read("frontier", rnd, FRONTIER_B)
+        frontier.cache()
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            stats = {"round": rnd, "frontier": 0, "selected": 0, "records": 0, "done": True,
+                     "wall_s": time.time() - t0}
+            self._commit(rnd, stats, [])
+            return stats
+
+        admitted = admission_filter(frontier)
+        if self.robots is not None:
+            admitted = admit_robots(admitted, self.robots, self.user_agent)
+
+        if rnd > 0 and os.path.exists(self._p("blooms", rnd - 1)):
+            blooms = spark.read.parquet(self._p("blooms", rnd - 1))
+        else:
+            blooms = empty_blooms(spark, spec)
+        seen = self._seen_all(rnd - 1)
+        unseen = filter_unseen(admitted, blooms, seen, spec)
+
+        selected = select_under_budget(
+            unseen, self.budgets, self.default_budget, self.n_salts
+        ).withColumn("round_id", F.lit(rnd).cast("int"))
+        selected.cache()
+        n_selected = selected.count()
+
+        carry = carryover(unseen, selected)
+
+        # "fetch": resolve selected URLs against the pages store
+        fetched = selected.join(self.pages.select("url", "html"), on="url", how="left")
+        got = fetched.filter(F.col("html").isNotNull())
+        parsed = parse_pages(got, self.config_yaml)
+        parsed.cache()
+
+        records = explode_records(parsed, rnd)
+        records.cache()
+        n_records = records.count()
+
+        # frontier expansion, priority-classed (see module docstring)
+        meta = selected.select(
+            F.col("url").alias("parent_url"), F.col("priority").alias("pprio"), "depth"
+        )
+        par = parsed.join(meta, parsed["url"] == meta["parent_url"], "inner")
+        nexts = par.filter(F.col("next_url").isNotNull()).select(
+            F.col("next_url").alias("url"),
+            (F.col("pprio") + F.lit(1.0)).alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        details = par.select(
+            F.posexplode("detail_urls").alias("idx", "url"), "pprio", "depth"
+        ).select(
+            "url",
+            (F.lit(DETAIL_BASE) + F.col("pprio") * 1000 + F.col("idx")).alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        new_urls = nexts.unionByName(details)
+        if self.follow_links:
+            links = par.select(F.explode("link_urls").alias("url"), "depth").select(
+                "url",
+                (F.lit(LINK_BASE) + F.col("depth") + 1).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            new_urls = new_urls.unionByName(links)
+
+        new_frontier = to_frontier(new_urls, spec, round_id=rnd + 1).withColumn(
+            "bucket", spec.bucket_col(F.col("url_hash"))
+        )
+        new_frontier = admission_filter(new_frontier)
+        # exclude already-visited and this round's visits
+        exclude = seen.select("url_hash").unionByName(selected.select("url_hash"))
+        new_frontier = new_frontier.join(exclude, on="url_hash", how="left_anti")
+
+        next_frontier = (
+            carry.unionByName(new_frontier)
+            .groupBy("url_hash")
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in carry.columns]), F.struct("priority", "url")
+                ).alias("s")
+            )
+            .select("s.*")
+        )
+
+        # ---- writes (deltas first, manifest last = atomic commit) ----
+        records.write.mode("overwrite").parquet(self._p("records", rnd))
+        selected.drop("bucket").write.mode("overwrite").parquet(self._p("selected", rnd))
+        seen_delta = selected.select(
+            "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
+            F.col("round_id").alias("round_added"),
+        )
+        seen_delta.write.mode("overwrite").parquet(self._p("seen", rnd))
+        seen_delta_r = spark.read.schema(schemas.SEEN).parquet(self._p("seen", rnd))
+        merge_blooms(blooms, seen_delta_r, spec).write.mode("overwrite").parquet(
+            self._p("blooms", rnd)
+        )
+        next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+
+        counters = (
+            partition_counters(frontier, rnd, "frontier_in")
+            .unionByName(partition_counters(selected, rnd, "selected"))
+            .unionByName(partition_counters(records, rnd, "records"))
+            .unionByName(partition_counters(new_frontier, rnd, "new_urls"))
+        )
+        counters.write.mode("overwrite").parquet(self._p("counters", rnd))
+
+        n_next = spark.read.parquet(self._p("frontier", rnd + 1)).count()
+        stats = {
+            "round": rnd,
+            "frontier": n_frontier,
+            "selected": n_selected,
+            "records": n_records,
+            "next_frontier": n_next,
+            "done": n_next == 0 and n_selected == 0,
+            "wall_s": time.time() - t0,
+        }
+        self._commit(rnd, stats, ["frontier", "selected", "records", "seen", "blooms", "counters"])
+        for df in (frontier, selected, parsed, records):
+            df.unpersist()
+        return stats
+
+    def _commit(self, rnd: int, stats: dict, tables: list[str]) -> None:
+        os.makedirs(os.path.join(self.warehouse, "manifest"), exist_ok=True)
+        tmp = self._manifest(rnd) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"stats": stats, "tables": tables}, fh)
+        os.replace(tmp, self._manifest(rnd))
+
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        out = []
+        rnd = self.resume_round()
+        while rnd < max_rounds:
+            stats = self.run_round(rnd)
+            out.append(stats)
+            if stats.get("done"):
+                break
+            rnd += 1
+        return out
+
+    # ---- result accessors ----
+    def all_records(self) -> DataFrame:
+        paths = []
+        rnd = 0
+        while os.path.exists(self._manifest(rnd)):
+            if os.path.exists(self._p("records", rnd)):
+                paths.append(self._p("records", rnd))
+            rnd += 1
+        if not paths:
+            return self.spark.createDataFrame([], schemas.RECORDS)
+        return self.spark.read.schema(schemas.RECORDS).parquet(*paths)
+
+    def visit_log(self) -> DataFrame:
+        """(round_id, host, visit_rank, url) — the crawl ordering."""
+        paths = []
+        rnd = 0
+        while os.path.exists(self._manifest(rnd)):
+            if os.path.exists(self._p("selected", rnd)):
+                paths.append(self._p("selected", rnd))
+            rnd += 1
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "url string, round_id int, host string, visit_rank int"
+            )
+        return self.spark.read.parquet(*paths).select("url", "round_id", "host", "visit_rank")
+
+    def seen_set(self) -> DataFrame:
+        return self._seen_all(self.resume_round() - 1)

@@ -1,0 +1,176 @@
+"""Crawl-round engine tests: seen-set correctness, robots admission,
+politeness budgets, goskyr visit-order equivalence, checkpoint resume.
+
+The visit-order oracle is the reference-parity sequential engine
+(``scrape_page`` + ``detail_pages``, already byte-identical to goskyr per
+tests/test_golden_fixtures.py) driven with an instrumented ``get_page``
+that logs fetch order — i.e. exactly the order goskyr's loop at
+``/root/reference/scrape/scrape.go:647-674`` + ``:2327-2403`` fetches."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from goskyr_spark.config.model import Config
+from goskyr_spark.crawl.bloom import BloomSpec
+from goskyr_spark.crawl.rounds import CrawlRun
+from goskyr_spark.extract.record import detail_pages, scrape_page
+from goskyr_spark.extract.urlutil import canonical_url
+from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    spec = CorpusSpec(n_hosts=6, list_pages_per_host=3, items_per_page=4, mega_factor=3, seed=7)
+    pages = generate_pages(spark, spec).cache()
+    pages.count()
+    robots = generate_robots(spark, spec)
+    return spec, pages, robots
+
+
+def combined_config_yaml(spec: CorpusSpec) -> str:
+    """List config with id.field=link so detail URLs are followed."""
+    return spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
+
+
+def reference_visit_order(spec: CorpusSpec, host: int) -> list[str]:
+    """Fetch order of the sequential reference-parity engine for one host."""
+    order: list[str] = []
+
+    def get_page(url):
+        order.append(canonical_url(url))
+        h, kind, p, it = None, None, None, None
+        # resolve URL back to corpus content
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        hh = int(parts.netloc.split(".")[0].replace("host", ""))
+        segs = parts.path.strip("/").split("/")
+        if segs[0] == "list":
+            return spec.list_html(hh, int(segs[1]))
+        p_, i_ = segs[1].split("-")
+        return spec.item_html(hh, int(p_), int(i_))
+
+    yml = combined_config_yaml(spec)
+    cfg = Config.from_yaml(yml)
+    cfg2 = Config.from_yaml(spec.detail_config_yaml())
+    seed = spec.host_base(host) + "/list/0"
+    cfg.scrapers[0].url = seed
+    cfg2.scrapers[0].url = seed
+    recs = scrape_page(cfg, cfg.scrapers[0], get_page)
+    detail_pages(cfg, cfg2.scrapers[0], recs, get_page)
+    return order
+
+
+def test_crawl_single_host_order_matches_reference(spark, corpus, tmp_path):
+    """budget=1/host, one host: visit order == goskyr sequential order."""
+    spec, pages, robots = corpus
+    host = 1  # non-mega host, no /private
+    run = CrawlRun(
+        spark,
+        str(tmp_path / "wh"),
+        pages,
+        combined_config_yaml(spec),
+        robots=None,
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=1,
+        n_salts=4,
+    )
+    run.init([spec.host_base(host) + "/list/0"])
+    stats = run.run(max_rounds=40)
+    visits = (
+        run.visit_log().orderBy("round_id", "visit_rank").select("url").toPandas()["url"].tolist()
+    )
+    want = reference_visit_order(spec, host)
+    assert visits == want, f"ours={visits[:6]}... want={want[:6]}..."
+    # every page visited exactly once
+    assert len(visits) == len(set(visits))
+    n_pages = spec.list_pages_of(host) * (1 + spec.items_per_page)
+    assert len(visits) == n_pages
+
+
+def test_crawl_full_corpus_robots_and_seen(spark, corpus, tmp_path):
+    spec, pages, robots = corpus
+    run = CrawlRun(
+        spark,
+        str(tmp_path / "wh2"),
+        pages,
+        combined_config_yaml(spec),
+        robots=robots,
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=64,
+        n_salts=4,
+        follow_links=True,
+    )
+    run.init(spec.seed_urls())
+    stats = run.run(max_rounds=30)
+    assert stats[-1]["done"]
+
+    visits = run.visit_log().toPandas()
+    # exactly-once fetch (the north_rule seen-set invariant)
+    assert visits["url"].is_unique
+    # all corpus pages reachable & fetched except robots-disallowed /private/
+    assert not visits["url"].str.contains("/private/").any()
+    n_total = spec.total_pages
+    assert len(visits) == n_total
+
+    # seen set equals visited set
+    seen = run.seen_set().count()
+    assert seen == len(visits)
+
+    # every list page yielded items_per_page records
+    recs = run.all_records()
+    n_lists = spec.total_list_pages
+    assert recs.count() == n_lists * spec.items_per_page
+    # record payload parity: the UDF path == pure engine on one page
+    one = json.loads(
+        recs.filter(F.col("url") == spec.host_base(1) + "/list/0")
+        .orderBy("record_idx")
+        .first()["record"]
+    )
+    assert one["title"] == spec.item_title(1, 0, 0)
+    assert one["date"] == spec.item_date(1, 0, 0)
+
+
+def test_crawl_resume_no_refetch(spark, corpus, tmp_path):
+    """Kill after round 1; resume completes with zero double-fetches."""
+    spec, pages, robots = corpus
+    wh = str(tmp_path / "wh3")
+
+    def mk():
+        return CrawlRun(
+            spark, wh, pages, combined_config_yaml(spec), robots=robots,
+            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+            default_budget=16, n_salts=4,
+        )
+
+    r1 = mk()
+    r1.init(spec.seed_urls())
+    r1.run_round(0)
+    r1.run_round(1)
+    # "crash" — new driver object resumes from manifest
+    r2 = mk()
+    assert r2.resume_round() == 2
+    r2.run(max_rounds=30)
+    visits = r2.visit_log().toPandas()
+    assert visits["url"].is_unique  # nothing re-fetched across the restart
+
+
+def test_politeness_budget_respected(spark, corpus, tmp_path):
+    spec, pages, robots = corpus
+    budget = 3
+    run = CrawlRun(
+        spark, str(tmp_path / "wh4"), pages, combined_config_yaml(spec),
+        robots=None, bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=budget, n_salts=4,
+    )
+    run.init(spec.seed_urls())
+    run.run_round(0)
+    run.run_round(1)
+    per_host = (
+        run.visit_log().groupBy("round_id", "host").count().toPandas()
+    )
+    assert (per_host["count"] <= budget).all()
