@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family (SURVEY.md §2 +
+training-data ops) to a DataFrame demo over the driver's synthetic
+tables; ``oracle_sql()`` provides the DuckDB-equivalent SQL. Operators
+whose semantics are not SQL-expressible (minhash/simhash/LSH, crawl
+rounds) appear without an oracle → rows-only check; their real
+correctness gates are tests/ (golden-fixture byte parity, crawl-order
+equivalence).
 """
 
 from __future__ import annotations
@@ -12,27 +14,208 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goskyr_spark.ops import dedup, multimodal, relational, similarity, textstats
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier round as a relational pipeline at sf0.001 —
+    admission (filter) → seen anti-join → per-host budgeted top-k
+    (politeness window) → merge-key broadcast join, exactly the dataflow
+    of goskyr_spark.crawl.rounds.run_round."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    from pyspark.sql import Window
+
+    frontier = orders.filter(F.col("o_totalprice") > 0)
+    unseen = frontier.join(
+        lineitem.select("l_orderkey"),
+        frontier["o_orderkey"] == lineitem["l_orderkey"],
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    selected = unseen.withColumn("visit_rank", F.row_number().over(w)).filter(
+        F.col("visit_rank") <= 2
+    )
+    return selected.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        selected["o_custkey"] == customer["c_custkey"],
+        "left",
+    ).select("o_orderkey", "o_custkey", "visit_rank", F.col("c_name").alias("customer_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SURVEY.md §2.6 relational mappings of goskyr operators
+        "merge_key_join": relational.merge_key_join,
+        "detail_page_join": relational.detail_page_join,
+        "frontier_anti_join": relational.frontier_anti_join,
+        "politeness_topk": relational.politeness_topk,
+        "squash_min_count": relational.squash_min_count,
+        "static_field_filter": relational.static_field_filter,
+        "guess_year_scan": relational.guess_year_scan,
+        "visited_dedup": relational.visited_dedup,
+        "frontier_merge_min_priority": relational.frontier_merge_min_priority,
+        "pagination_union": relational.pagination_union,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_char_jaccard": dedup.char_jaccard_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_embedding_cosine": dedup.embedding_cosine_dups,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
+        # text analysis
+        "text_token_counts": textstats.token_counts,
+        "text_quality_signals": textstats.quality_signals,
+        "text_lang_id": textstats.lang_id,
+        "text_doc_fingerprint": textstats.doc_fingerprint,
+        # multimodal plumbing (oracle-checkable fragment)
+        "multimodal_binary_meta": multimodal.documents_as_binary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "merge_key_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS totalprice,
+                   c_name AS customer_name, c_mktsegment AS customer_segment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "detail_page_join": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   p_name AS part__name, p_brand AS part__brand
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        """,
+        "frontier_anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "politeness_topk": """
+            SELECT o_custkey, o_orderkey, totalprice, visit_rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS visit_rank
+                FROM orders)
+            WHERE visit_rank <= 2
+        """,
+        "squash_min_count": """
+            SELECT l_partkey, COUNT(*) AS occurrences,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+        """,
+        "static_field_filter": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS occurrences
+            FROM events GROUP BY event_type HAVING COUNT(DISTINCT user_id) > 1
+        """,
+        "guess_year_scan": """
+            SELECT event_id, user_id,
+                   (epoch_ms(ts) // 1000) AS ts_sec,
+                   (epoch_ms(ts) // 1000) - LAG((epoch_ms(ts) // 1000)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+            FROM events
+        """,
+        "visited_dedup": """
+            SELECT user_id, event_type,
+                   MIN((epoch_ms(ts) // 1000)) AS first_ts_sec,
+                   COUNT(*) AS n_visits
+            FROM events GROUP BY user_id, event_type
+        """,
+        "frontier_merge_min_priority": """
+            SELECT user_id, first_event_id, first_ts_sec FROM (
+                SELECT user_id, event_id AS first_event_id,
+                       MIN((epoch_ms(ts) // 1000)) OVER (PARTITION BY user_id) AS first_ts_sec,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "pagination_union": """
+            SELECT o_orderkey, o_custkey, o_orderpriority AS priority FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT o_orderkey, o_custkey, o_orderpriority AS priority FROM orders
+            WHERE o_totalprice > 200000
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "dedup_char_jaccard": """
+            WITH c AS (
+                SELECT doc_id, source, list_distinct(string_split(text, '')) AS chars
+                FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.chars, b.chars))), 4) AS jaccard
+            FROM c a JOIN c b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.chars, b.chars))) >= 0.92
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id, rank FROM (
+                SELECT e.vec_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[]))
+                                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                             CAST(e.embedding AS DOUBLE[])))
+                                       * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                               CAST(q.embedding AS DOUBLE[])))) DESC,
+                                    e.vec_id ASC) AS INTEGER) AS rank
+                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0)
+            WHERE rank <= 10
+        """,
+        "text_token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subword_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        """,
+        "text_quality_signals": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digits,
+                   CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for)\\b')) AS INTEGER) AS n_stopwords
+            FROM documents
+        """,
+        "text_lang_id": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|is|for)\\b')) AS en,
+                       len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS de,
+                       len(regexp_extract_all(lower(text), '\\b(el|la|los|y|es)\\b')) AS es,
+                       len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS fr
+                FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_guess
+            FROM s
+        """,
+        "multimodal_binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        # no oracle (non-SQL-expressible; gated by tests/):
+        #   dedup_ngram_jaccard (xxhash64 gram hashing),
+        #   dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine,
+        #   ann_lsh_topk, ann_ivf_topk, text_doc_fingerprint
+    }

@@ -1,0 +1,123 @@
+"""Per-round benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "queries": {name: sec}, "sf": ...}
+
+Headline metric (BASELINE.json): frontier URLs processed/sec per
+executor core, measured by running the full crawl engine (bloom
+anti-join + robots + salted politeness + extraction UDF + checkpointed
+merge) to completion over a deterministic synthetic corpus. Query
+timings cover the operator families at $SPARK_GRAFT_SF_DIR (default
+sf0.1). Scaling-efficiency evidence (local[8] vs local[32]) is produced
+by tools/scaling_bench.py into BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from goskyr_spark.spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "100"))
+
+BENCH_QUERIES = [
+    "merge_key_join",
+    "frontier_anti_join",
+    "politeness_topk",
+    "squash_min_count",
+    "guess_year_scan",
+    "visited_dedup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_token_counts",
+    "text_quality_signals",
+    "text_lang_id",
+]
+
+
+def force(df) -> None:
+    """Materialize the full plan JVM-side (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        force(fn(spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_crawl(spark) -> tuple[float, int, float]:
+    """Full crawl to completion on a deterministic corpus; returns
+    (urls_per_sec_per_core, urls, wall_s)."""
+    from goskyr_spark.crawl.bloom import BloomSpec
+    from goskyr_spark.crawl.rounds import CrawlRun
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
+
+    spec = CorpusSpec(
+        n_hosts=CORPUS_HOSTS, list_pages_per_host=6, items_per_page=10,
+        mega_factor=20, seed=42,
+    )
+    pages = generate_pages(spark, spec).cache()
+    pages.count()  # corpus build excluded from crawl timing
+    robots = generate_robots(spark, spec)
+    wh = tempfile.mkdtemp(prefix="goskyr_bench_wh_")
+    try:
+        cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
+        run = CrawlRun(
+            spark, wh, pages, cfg, robots=robots,
+            bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
+            default_budget=200, n_salts=8, follow_links=True,
+        )
+        run.init(spec.seed_urls())
+        t0 = time.time()
+        stats = run.run(max_rounds=60)
+        wall = time.time() - t0
+        urls = sum(s.get("selected", 0) for s in stats)
+        return round(urls / wall / CPUS, 3), urls, round(wall, 2)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        pages.unpersist()
+
+
+def main():
+    spark = build_session(app_name="goskyr-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    queries = bench_queries(spark)
+    ups_core, urls, crawl_wall = bench_crawl(spark)
+    queries["crawl_full"] = crawl_wall
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs processed/sec per executor core (full crawl engine)",
+                "value": ups_core,
+                "unit": "urls/sec/core",
+                "crawl_urls": urls,
+                "crawl_wall_s": crawl_wall,
+                "cores": CPUS,
+                "queries": queries,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,7 @@ def visited_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per canonical key — min aggregation, one shuffle."""
     events = _t(spark, sf_dir, "events")
     return events.groupBy("user_id", "event_type").agg(
-        F.min("ts").alias("first_ts"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts_sec"),
         F.count(F.lit(1)).alias("n_visits"),
     )
 
@@ -154,7 +154,7 @@ def frontier_merge_min_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
         F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
-        F.min("ts").alias("first_ts"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts_sec"),
     )
 
 

@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality signals, language-ID, document fingerprinting. All JVM-side
+built-ins (regexp/length arithmetic) so whole-stage codegen covers the
+whole plan; integer outputs so the DuckDB oracle hash-compares exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters,
+    digits, or single punctuation — the classic pre-tokenizer regex)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.trim("text"), "\\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_subword_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword counts — the standard cheap
+    quality filters (C4/Gopher-style) as integer columns."""
+    docs = _docs(spark, sf_dir)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_words = F.size(F.split(F.trim("text"), "\\s+"))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("\\b(the|a|and|of|to|in|is|for)\\b"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digits"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: vote by language-characteristic function
+    words. Deterministic CASE chain (en/de/es/fr, else 'und') — the
+    real-corpus version swaps in an n-gram model inside a pandas UDF;
+    the query shape (scan → project → filter) is identical."""
+    docs = _docs(spark, sf_dir)
+
+    def score(words: str):
+        return F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("\\b(" + words + ")\\b"), F.lit(0))
+        )
+
+    en = score("the|and|of|is|for")
+    de = score("der|die|das|und|ist")
+    es = score("el|la|los|y|es")
+    fr = score("le|la|les|et|est")
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    rolling hashes → min hash within each sliding window → distinct
+    selected hashes per doc. Used for plagiarism-style containment
+    detection. Built-ins only: transform over index arrays."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), "\\s+")
+    grams = F.filter(
+        F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        lambda g: F.size(F.split(g, " ")) >= k,
+    )
+    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 31)))
+    # windows of `window` consecutive hashes → min each → distinct.
+    # sequence() is guarded: stop < start would yield a DESCENDING range.
+    idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - window + 1, F.lit(1)))
+    mins = F.when(F.size(hashes) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(hashes).alias("n_grams"),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.try_element_at("fingerprints", F.lit(1)).alias("min_fingerprint"),
+    )
