@@ -82,11 +82,11 @@ def bench_crawl(spark) -> tuple[float, int, float]:
         run = CrawlRun(
             spark, wh, pages, cfg, robots=robots,
             bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
-            default_budget=200, n_salts=8, follow_links=True,
+            default_budget=500, round_seconds=900.0, n_salts=8, follow_links=True,
         )
         run.init(spec.seed_urls())
         t0 = time.time()
-        stats = run.run(max_rounds=60)
+        stats = run.run(max_rounds=200)
         wall = time.time() - t0
         urls = sum(s.get("selected", 0) for s in stats)
         return round(urls / wall / CPUS, 3), urls, round(wall, 2)

@@ -375,15 +375,14 @@ class ConfigID:
         )
 
     def __str__(self) -> str:
+        """ConfigID.String (scrape.go:114-148): '__' before the first
+        present component, '_' between the rest."""
         r = self.slug
-        if self.id:
-            r += "__" + self.id
-        elif self.field or self.subid:
-            r += "__"
-        if self.field:
-            r += "_" + self.field
-        if self.subid:
-            r += "_" + self.subid
+        sep = "__"
+        for part in (self.id, self.field, self.subid):
+            if part:
+                r += sep + part
+                sep = "_"
         return r
 
 

@@ -156,7 +156,7 @@ def admit_robots(frontier: DataFrame, robots: DataFrame, agent: str = "goskyr") 
 
 def host_budgets(robots: DataFrame, agent: str = "goskyr",
                  round_seconds: float = 60.0, default_budget: int = 32,
-                 max_budget: int = 256) -> DataFrame:
+                 max_budget: int = 2048) -> DataFrame:
     """Per-host fetch budget for one crawl round from Crawl-delay:
     budget = round_seconds / crawl_delay (bounded). Hosts without a
     delay get ``default_budget``."""

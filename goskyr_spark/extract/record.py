@@ -283,7 +283,12 @@ def gq_selection(config: Config, scraper: Scraper, nodes: list[Node], base_url: 
     from .derived import apply_derived_fields
 
     rec: dict = {}
-    for f in sort_fields_url_first(scraper.fields):
+    # the reference sorts the scraper's Fields slice IN PLACE on every
+    # GQSelection call (sort.Slice, scrape.go:1128) — the mutation leaks
+    # into serialized configs, so the generator's golden parity depends
+    # on replicating it (see sort_fields_url_first docstring)
+    scraper.fields[:] = sort_fields_url_first(scraper.fields)
+    for f in scraper.fields:
         if f.value != "":
             rec[f.name] = f.value
             continue

@@ -1,0 +1,63 @@
+"""Auto-config generation driver — the offline equivalent of
+``goskyr generate <url>`` and the reference's TestGenerate harness
+(``/root/reference/cmd/goskyr/main_test.go:30-232``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from ..extract.record import PageDoc, strip_http_header
+from ..extract.urlutil import url_slug
+from ..testkit.golden import page_getter
+from .configs import GenOptions, configurations_for_gq_document
+from .detail import configurations_for_all_detail_pages
+
+
+def generate_for_page(url: str, get_page, min_occs=(5, 10, 20), require_string: str = "",
+                      do_detail_pages: bool = False, render_js: bool = True,
+                      min_records: int = 0, ref_time=None) -> dict:
+    """→ {config_id_string: Config} (page configs + detail configs)."""
+    html = get_page(url)
+    if html is None:
+        raise FileNotFoundError(f"page not in cache: {url}")
+    doc = PageDoc(url, strip_http_header(html))
+    opts = GenOptions(
+        url=url,
+        min_occs=tuple(min_occs),
+        do_detail_pages=do_detail_pages,
+        only_varying_fields=True,
+        render_js=render_js,
+        require_string=require_string,
+        min_records=min_records,
+        ref_time=ref_time,
+    ).init()
+    cs = configurations_for_gq_document(doc, opts)
+    by_id = {str(c.id): c for c in cs.values()}
+    if do_detail_pages:
+        sub_cs = configurations_for_all_detail_pages(opts, cs, get_page)
+        for c in sub_cs.values():
+            by_id[str(c.id)] = c
+    return by_id
+
+
+def generate_for_fixture(cat_dir: str, url: str, require_string: str = "", ref_time=None) -> dict:
+    """Replays one reference TestGenerate case against the fixture cache."""
+    get_page = page_getter(cat_dir)
+    page_slug = url_slug(url)
+    from urllib.parse import urlsplit
+
+    host_slug = url_slug(urlsplit(url).netloc)
+    detail_goldens = glob.glob(
+        os.path.join(cat_dir, host_slug + "_configs", page_slug + "*href*.yml")
+    )
+    return generate_for_page(
+        url,
+        get_page,
+        min_occs=(5, 10, 20),
+        require_string=require_string,
+        do_detail_pages=len(detail_goldens) > 0,
+        render_js=True,
+        ref_time=ref_time,
+    )

@@ -142,13 +142,22 @@ class CorpusSpec:
         nav = ""
         if p + 1 < self.list_pages_of(h):
             nav = f'<a class="next" rel="next" href="/list/{p + 1}">Next</a>'
+        # archive sidebar: a few same-host list links (typical blog archive
+        # block) — gives the frontier BFS breadth instead of forcing the
+        # crawler down the pagination chain one round per page
+        np = self.list_pages_of(h)
+        sidebar = "".join(
+            f'<a class="archive" href="/list/{j}">archive {j}</a>'
+            for j in sorted({0, (p * 7 + 3) % np, (p * 13 + 1) % np, (_h(self.seed, "sb", h, p) % np)})
+        )
         cross = self.host_base((h + 1 + _h(self.seed, "x", h, p) % max(1, self.n_hosts - 1)) % self.n_hosts)
         private = '<a href="/private/admin">admin</a>' if self.host_disallows_private(h) else ""
         return (
             "<!DOCTYPE html><html><head>"
             f"<title>Host {h:04d} list {p}</title></head><body>"
             f'<main class="listing">{"".join(items)}</main>'
-            f'<nav>{nav}<a class="other" href="{cross}/list/0">elsewhere</a>{private}</nav>'
+            f'<nav>{nav}<aside class="sidebar">{sidebar}</aside>'
+            f'<a class="other" href="{cross}/list/0">elsewhere</a>{private}</nav>'
             "</body></html>"
         )
 
