@@ -62,17 +62,18 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
-def bench_crawl(spark) -> tuple[float, int, float]:
+def bench_crawl(spark, spec=None, metrics: str = "fast") -> tuple[float, int, float]:
     """Full crawl to completion on a deterministic corpus; returns
     (urls_per_sec_per_core, urls, wall_s)."""
     from goskyr_spark.crawl.bloom import BloomSpec
     from goskyr_spark.crawl.rounds import CrawlRun
     from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
 
-    spec = CorpusSpec(
-        n_hosts=CORPUS_HOSTS, list_pages_per_host=6, items_per_page=10,
-        mega_factor=20, seed=42,
-    )
+    if spec is None:
+        spec = CorpusSpec(
+            n_hosts=CORPUS_HOSTS, list_pages_per_host=6, items_per_page=10,
+            mega_factor=20, seed=42,
+        )
     pages = generate_pages(spark, spec).cache()
     pages.count()  # corpus build excluded from crawl timing
     robots = generate_robots(spark, spec)
@@ -83,6 +84,7 @@ def bench_crawl(spark) -> tuple[float, int, float]:
             spark, wh, pages, cfg, robots=robots,
             bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
             default_budget=500, round_seconds=900.0, n_salts=8, follow_links=True,
+            metrics=metrics,
         )
         run.init(spec.seed_urls())
         t0 = time.time()

@@ -143,7 +143,13 @@ class CrawlRun:
         n_salts: int = 8,
         follow_links: bool = False,
         user_agent: str = "goskyr",
+        metrics: str = "full",
     ):
+        # metrics="fast" drops the non-essential per-round count jobs
+        # (frontier-in/records counts, extra counter stages) — the crawl
+        # result is identical; only stats granularity changes. Used by the
+        # throughput bench where per-round job overhead would otherwise
+        # dominate the measurement.
         self.spark = spark
         self.warehouse = warehouse
         self.pages = pages
@@ -154,6 +160,7 @@ class CrawlRun:
         self.n_salts = n_salts
         self.follow_links = follow_links
         self.user_agent = user_agent
+        self.metrics = metrics
         self.budgets = (
             host_budgets(robots, user_agent, round_seconds, default_budget)
             if robots is not None
@@ -203,7 +210,10 @@ class CrawlRun:
         spark, spec = self.spark, self.spec
         frontier = self._read("frontier", rnd, FRONTIER_B)
         frontier.cache()
-        n_frontier = frontier.count()
+        if self.metrics == "full":
+            n_frontier = frontier.count()
+        else:
+            n_frontier = 0 if frontier.isEmpty() else -1
         if n_frontier == 0:
             stats = {"round": rnd, "frontier": 0, "selected": 0, "records": 0, "done": True,
                      "wall_s": time.time() - t0}
@@ -237,7 +247,7 @@ class CrawlRun:
 
         records = explode_records(parsed, rnd)
         records.cache()
-        n_records = records.count()
+        n_records = records.count() if self.metrics == "full" else -1
 
         # frontier expansion, priority-classed (see module docstring)
         meta = selected.select(
@@ -298,12 +308,15 @@ class CrawlRun:
         )
         next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
 
-        counters = (
-            partition_counters(frontier, rnd, "frontier_in")
-            .unionByName(partition_counters(selected, rnd, "selected"))
-            .unionByName(partition_counters(records, rnd, "records"))
-            .unionByName(partition_counters(new_frontier, rnd, "new_urls"))
-        )
+        if self.metrics == "full":
+            counters = (
+                partition_counters(frontier, rnd, "frontier_in")
+                .unionByName(partition_counters(selected, rnd, "selected"))
+                .unionByName(partition_counters(records, rnd, "records"))
+                .unionByName(partition_counters(new_frontier, rnd, "new_urls"))
+            )
+        else:
+            counters = partition_counters(selected, rnd, "selected")
         counters.write.mode("overwrite").parquet(self._p("counters", rnd))
 
         n_next = spark.read.parquet(self._p("frontier", rnd + 1)).count()

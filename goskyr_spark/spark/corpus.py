@@ -71,12 +71,14 @@ class CorpusSpec:
         items_per_page: int = 8,
         mega_factor: int = 8,
         seed: int = 42,
+        body_words: int = 60,
     ):
         self.n_hosts = n_hosts
         self.list_pages_per_host = list_pages_per_host
         self.items_per_page = items_per_page
         self.mega_factor = mega_factor
         self.seed = seed
+        self.body_words = body_words
 
     # ---- page-graph arithmetic (pure; no Spark) ----
 
@@ -162,7 +164,7 @@ class CorpusSpec:
         )
 
     def item_html(self, h: int, p: int, i: int) -> str:
-        body = _words(self.seed, "body", 60, h, p, i)
+        body = _words(self.seed, "body", self.body_words, h, p, i)
         return (
             "<!DOCTYPE html><html><head>"
             f"<title>{self.item_title(h, p, i)}</title></head><body>"
@@ -185,7 +187,7 @@ class CorpusSpec:
         else:
             url = f"{base}/item/{p}-{it}"
             html = self.item_html(h, p, it)
-            text = self.item_title(h, p, it) + "\n" + _words(self.seed, "body", 60, h, p, it)
+            text = self.item_title(h, p, it) + "\n" + _words(self.seed, "body", self.body_words, h, p, it)
         ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
         return url, ts.replace(tzinfo=None), html.encode("utf-8"), text, "en"
 
@@ -251,7 +253,7 @@ def generate_pages(spark: SparkSession, spec: CorpusSpec, partitions: int | None
     parallel, deterministic, zero shuffle."""
     n = spec.total_pages
     parts = partitions or max(8, spark.sparkContext.defaultParallelism)
-    args = (spec.n_hosts, spec.list_pages_per_host, spec.items_per_page, spec.mega_factor, spec.seed)
+    args = (spec.n_hosts, spec.list_pages_per_host, spec.items_per_page, spec.mega_factor, spec.seed, spec.body_words)
 
     def gen(batches):
         sp = CorpusSpec(*args)

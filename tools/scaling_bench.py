@@ -26,12 +26,15 @@ def run_at(cpus: int, hosts: int) -> dict:
     code = (
         "import sys, json, time; sys.path.insert(0, %r)\n"
         "from goskyr_spark.spark.session import build_session\n"
+        "from goskyr_spark.spark.corpus import CorpusSpec\n"
         "import bench\n"
         "spark = build_session(app_name='scaling', master='local[%d]', shuffle_partitions=%d)\n"
-        "ups, urls, wall = bench.bench_crawl(spark)\n"
+        "spec = CorpusSpec(n_hosts=%d, list_pages_per_host=5, items_per_page=20,\n"
+        "                  mega_factor=4, seed=42, body_words=400)\n"
+        "ups, urls, wall = bench.bench_crawl(spark, spec=spec, metrics='fast')\n"
         "print('RESULT ' + json.dumps({'cpus': %d, 'urls': urls, 'wall_s': wall,\n"
         "      'urls_per_sec': round(urls / wall, 3)}))\n"
-        "spark.stop()\n" % (REPO, cpus, cpus, cpus)
+        "spark.stop()\n" % (REPO, cpus, cpus, hosts, cpus)
     )
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=REPO,
@@ -44,7 +47,7 @@ def run_at(cpus: int, hosts: int) -> dict:
 
 
 def main():
-    hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     small = run_at(8, hosts)
     big = run_at(32, hosts)
     speedup = big["urls_per_sec"] / small["urls_per_sec"]
