@@ -144,6 +144,7 @@ class CrawlRun:
         follow_links: bool = False,
         user_agent: str = "goskyr",
         metrics: str = "full",
+        bloom_min_seen: int = 0,
     ):
         # metrics="fast" drops the non-essential per-round count jobs
         # (frontier-in/records counts, extra counter stages) — the crawl
@@ -161,6 +162,12 @@ class CrawlRun:
         self.follow_links = follow_links
         self.user_agent = user_agent
         self.metrics = metrics
+        # Engage the bloom pre-filter only once the seen set is at least
+        # this large: below it, the exact anti-join alone is cheaper than
+        # maintaining bitsets (at 10^10 URLs the bloom is mandatory; at
+        # sandbox scale it is pure overhead). 0 = always on.
+        self.bloom_min_seen = bloom_min_seen
+        self._cum_seen = 0
         self.budgets = (
             host_budgets(robots, user_agent, round_seconds, default_budget)
             if robots is not None
@@ -189,10 +196,23 @@ class CrawlRun:
         return self.spark.createDataFrame([], schema)
 
     def _seen_all(self, upto: int) -> DataFrame:
-        paths = [self._p("seen", r) for r in range(upto + 1) if os.path.exists(self._p("seen", r))]
+        """Seen set = union of per-round visit logs (the ``selected``
+        deltas double as the seen table — no separate write)."""
+        paths = [
+            self._p("selected", r)
+            for r in range(upto + 1)
+            if os.path.exists(self._p("selected", r))
+        ]
         if not paths:
             return self.spark.createDataFrame([], schemas.SEEN)
-        return self.spark.read.schema(schemas.SEEN).parquet(*paths)
+        return (
+            self.spark.read.parquet(*paths)
+            .select(
+                "url_hash",
+                self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
+                F.col("round_id").alias("round_added"),
+            )
+        )
 
     def init(self, seed_urls: list[str]) -> None:
         """Round-0 frontier from the seed list; seeds get priorities
@@ -224,18 +244,25 @@ class CrawlRun:
         if self.robots is not None:
             admitted = admit_robots(admitted, self.robots, self.user_agent)
 
-        if rnd > 0 and os.path.exists(self._p("blooms", rnd - 1)):
-            blooms = spark.read.parquet(self._p("blooms", rnd - 1))
-        else:
-            blooms = empty_blooms(spark, spec)
         seen = self._seen_all(rnd - 1)
-        unseen = filter_unseen(admitted, blooms, seen, spec)
+        use_bloom = self._cum_seen >= self.bloom_min_seen
+        blooms = None
+        if use_bloom:
+            if rnd > 0 and os.path.exists(self._p("blooms", rnd - 1)):
+                blooms = spark.read.parquet(self._p("blooms", rnd - 1))
+            else:
+                blooms = merge_blooms(empty_blooms(spark, spec), seen, spec)
+            unseen = filter_unseen(admitted, blooms, seen, spec)
+        else:
+            unseen = admitted.join(seen.select("url_hash"), "url_hash", "left_anti")
 
         selected = select_under_budget(
             unseen, self.budgets, self.default_budget, self.n_salts
         ).withColumn("round_id", F.lit(rnd).cast("int"))
         selected.cache()
+        t_sched0 = time.time()
         n_selected = selected.count()
+        t_schedule = time.time() - t_sched0
 
         carry = carryover(unseen, selected)
 
@@ -247,7 +274,9 @@ class CrawlRun:
 
         records = explode_records(parsed, rnd)
         records.cache()
+        t_parse0 = time.time()
         n_records = records.count() if self.metrics == "full" else -1
+        t_parse = time.time() - t_parse0
 
         # frontier expansion, priority-classed (see module docstring)
         meta = selected.select(
@@ -295,18 +324,21 @@ class CrawlRun:
         )
 
         # ---- writes (deltas first, manifest last = atomic commit) ----
+        t_w0 = time.time()
         records.write.mode("overwrite").parquet(self._p("records", rnd))
+        t_wrecords = time.time() - t_w0
         selected.drop("bucket").write.mode("overwrite").parquet(self._p("selected", rnd))
-        seen_delta = selected.select(
-            "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
-            F.col("round_id").alias("round_added"),
-        )
-        seen_delta.write.mode("overwrite").parquet(self._p("seen", rnd))
-        seen_delta_r = spark.read.schema(schemas.SEEN).parquet(self._p("seen", rnd))
-        merge_blooms(blooms, seen_delta_r, spec).write.mode("overwrite").parquet(
-            self._p("blooms", rnd)
-        )
+        if use_bloom:
+            seen_delta = selected.select(
+                "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
+                F.col("round_id").alias("round_added"),
+            )
+            merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
+                self._p("blooms", rnd)
+            )
+        t_w1 = time.time()
         next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+        t_wfrontier = time.time() - t_w1
 
         if self.metrics == "full":
             counters = (
@@ -328,8 +360,13 @@ class CrawlRun:
             "next_frontier": n_next,
             "done": n_next == 0 and n_selected == 0,
             "wall_s": time.time() - t0,
+            "t_schedule": round(t_schedule, 2),
+            "t_parse": round(t_parse, 2),
+            "t_write_records": round(t_wrecords, 2),
+            "t_write_frontier": round(t_wfrontier, 2),
         }
-        self._commit(rnd, stats, ["frontier", "selected", "records", "seen", "blooms", "counters"])
+        self._cum_seen += n_selected
+        self._commit(rnd, stats, ["frontier", "selected", "records", "blooms", "counters"])
         for df in (frontier, selected, parsed, records):
             df.unpersist()
         return stats
@@ -344,6 +381,14 @@ class CrawlRun:
     def run(self, max_rounds: int = 100) -> list[dict]:
         out = []
         rnd = self.resume_round()
+        # restore the cumulative seen count from committed manifests
+        self._cum_seen = 0
+        for r in range(rnd):
+            try:
+                with open(self._manifest(r)) as fh:
+                    self._cum_seen += max(0, json.load(fh)["stats"].get("selected", 0))
+            except (OSError, KeyError, ValueError):
+                pass
         while rnd < max_rounds:
             stats = self.run_round(rnd)
             out.append(stats)
