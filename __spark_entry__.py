@@ -78,7 +78,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": textstats.doc_fingerprint,
         # multimodal plumbing (oracle-checkable fragment)
         "multimodal_binary_meta": multimodal.documents_as_binary,
+        # crawl engine + auto-config generation demos (non-SQL-expressible;
+        # rows-only check here, full gates in tests/)
+        "crawl_visit_log": _crawl_visit_log,
+        "generate_configs": _generate_configs,
     }
+
+
+def _crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two checkpointed crawl rounds on a deterministic synthetic corpus:
+    returns the visit log (url, round, host, politeness rank)."""
+    import shutil
+    import tempfile
+
+    from goskyr_spark.crawl.bloom import BloomSpec
+    from goskyr_spark.crawl.rounds import CrawlRun
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
+
+    spec = CorpusSpec(n_hosts=4, list_pages_per_host=2, items_per_page=4, mega_factor=2, seed=9)
+    pages = generate_pages(spark, spec)
+    wh = tempfile.mkdtemp(prefix="entry_crawl_")
+    try:
+        run = CrawlRun(
+            spark, wh, pages, spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link"),
+            robots=generate_robots(spark, spec),
+            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+            default_budget=16, n_salts=4, follow_links=True,
+        )
+        run.init(spec.seed_urls())
+        run.run(max_rounds=3)
+        out = run.visit_log().orderBy("round_id", "host", "visit_rank")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _generate_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed auto-config generation over synthetic list pages."""
+    from goskyr_spark.generate.spark_jobs import generate_configs_df
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+
+    spec = CorpusSpec(n_hosts=3, list_pages_per_host=1, items_per_page=8, mega_factor=1, seed=9)
+    pages = generate_pages(spark, spec).filter(F.col("url").endswith("/list/0"))
+    return generate_configs_df(pages, min_occs=(5,)).select(
+        "url", "config_id", "n_records"
+    )
 
 
 def oracle_sql() -> dict[str, str]:

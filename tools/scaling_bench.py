@@ -28,15 +28,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CODE = r"""
 import sys, json, time, tempfile, shutil
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from goskyr_spark.spark.session import build_session
 from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
 from goskyr_spark.crawl.rounds import CrawlRun
 from goskyr_spark.crawl.bloom import BloomSpec
 
-cpus = {cpus}
+cpus = @CPUS@
 spark = build_session(app_name='scaling', master='local[%d]' % cpus, shuffle_partitions=cpus)
-spec = CorpusSpec(n_hosts={hosts}, list_pages_per_host=5, items_per_page=20,
+spec = CorpusSpec(n_hosts=@HOSTS@, list_pages_per_host=5, items_per_page=20,
                   mega_factor=4, seed=42, body_words=1200)
 pages = generate_pages(spark, spec).cache()
 n_pages = pages.count()
@@ -71,8 +71,9 @@ spark.stop()
 
 
 def run_at(cpus: int, hosts: int) -> dict:
+    code = _CODE.replace("@REPO@", REPO).replace("@CPUS@", str(cpus)).replace("@HOSTS@", str(hosts))
     out = subprocess.run(
-        [sys.executable, "-c", _CODE.format(repo=REPO, cpus=cpus, hosts=hosts)],
+        [sys.executable, "-c", code],
         cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
