@@ -1,0 +1,144 @@
+"""html → markdown (F3) — ``getMarkdownString``/``HTMLToMarkdown``
+(``/root/reference/scrape/scrape.go:2178-2225``).
+
+The conversion step approximates the Go ``html-to-markdown`` library for
+the common element set (the library's exact spacing is not reproducible
+from a different implementation — SURVEY §7 hard part #2; none of the 28
+golden configs use ``type: markdown``, so there is no fixture gate).
+The POST-PROCESSING pipeline is an exact port: UTF-8 sanitize, NBSP
+variants → space, ``  \\n`` → ``\\n``, ``* * *`` and blockquote-marker
+strips, ``\\\\\\n`` → ``\\n``, newline doubling, cap at ``\\n\\n\\n``,
+trim."""
+
+from __future__ import annotations
+
+import re
+
+from ..htmlx.parser import ELEMENT, TEXT, Node, parse_html
+
+_SPACE_BEFORE_NL = re.compile(r"  \n")
+_BLOCKQUOTE = re.compile(r"^> ?", re.MULTILINE)
+_EXCESS_NL = re.compile(r"\n{4,}")
+_WS = re.compile(r"\s+")
+
+_BLOCK = {"p", "div", "section", "article", "header", "footer", "aside", "main",
+          "table", "tr", "blockquote", "pre"}
+_HEADINGS = {f"h{i}": i for i in range(1, 7)}
+
+
+def _convert(node: Node, out: list[str], ctx: dict) -> None:
+    if node.type == TEXT:
+        t = _WS.sub(" ", node.text)
+        if t.strip() or (out and out[-1] and not out[-1].endswith("\n")):
+            out.append(t)
+        return
+    if node.type != ELEMENT:
+        # document root: walk through
+        if node.children:
+            for c in node.children:
+                _convert(c, out, ctx)
+        return
+    tag = node.tag
+    if tag in ("script", "style", "noscript", "head"):
+        return
+    if tag in _HEADINGS:
+        out.append("\n\n" + "#" * _HEADINGS[tag] + " ")
+        for c in node.children:
+            _convert(c, out, ctx)
+        out.append("\n\n")
+        return
+    if tag == "br":
+        out.append("\n")
+        return
+    if tag == "hr":
+        out.append("\n\n* * *\n\n")
+        return
+    if tag in ("strong", "b"):
+        out.append("**")
+        for c in node.children:
+            _convert(c, out, ctx)
+        out.append("**")
+        return
+    if tag in ("em", "i"):
+        out.append("_")
+        for c in node.children:
+            _convert(c, out, ctx)
+        out.append("_")
+        return
+    if tag == "code":
+        out.append("`")
+        for c in node.children:
+            _convert(c, out, ctx)
+        out.append("`")
+        return
+    if tag == "a":
+        inner: list[str] = []
+        for c in node.children:
+            _convert(c, inner, ctx)
+        text = "".join(inner).strip()
+        href = node.attrs.get("href", "")
+        out.append(f"[{text}]({href})" if href else text)
+        return
+    if tag == "img":
+        alt = node.attrs.get("alt", "")
+        src = node.attrs.get("src", "")
+        out.append(f"![{alt}]({src})")
+        return
+    if tag in ("ul", "ol"):
+        out.append("\n\n")
+        idx = 1
+        for c in node.children:
+            if c.type == ELEMENT and c.tag == "li":
+                marker = "- " if tag == "ul" else f"{idx}. "
+                idx += 1
+                inner = []
+                for cc in c.children:
+                    _convert(cc, inner, ctx)
+                out.append(marker + "".join(inner).strip() + "\n")
+        out.append("\n")
+        return
+    if tag == "blockquote":
+        inner = []
+        for c in node.children:
+            _convert(c, inner, ctx)
+        quoted = "\n".join("> " + ln for ln in "".join(inner).strip().splitlines())
+        out.append("\n\n" + quoted + "\n\n")
+        return
+    is_block = tag in _BLOCK
+    if is_block:
+        out.append("\n\n")
+    for c in node.children:
+        _convert(c, out, ctx)
+    if is_block:
+        out.append("\n\n")
+
+
+def html_to_markdown(html_str: str) -> str:
+    """HTMLToMarkdown (scrape.go:2196-2221)."""
+    tree = parse_html(html_str)
+    out: list[str] = []
+    _convert(tree, out, {})
+    r = "".join(out)
+    r = re.sub(r"\n{3,}", "\n\n", r)
+    r = "\n".join(ln.rstrip() if ln.strip() else "" for ln in r.split("\n")).strip()
+
+    # exact post-processing port
+    r = r.replace("�", " ")
+    r = r.replace(" ", " ").replace(" ", " ").replace(" ", " ")
+    r = _SPACE_BEFORE_NL.sub("\n", r)
+    r = r.replace("* * *\n", "\n")
+    r = _BLOCKQUOTE.sub("", r)
+    r = r.replace("\\\n", "\n")
+    r = r.replace("\n", "\n\n")
+    r = _EXCESS_NL.sub("\n\n\n", r)
+    return r.strip()
+
+
+def get_markdown_string(e, nodes) -> str:
+    """getMarkdownString (scrape.go:2181-2187)."""
+    from .text import get_html_string
+
+    html_str = get_html_string(e, nodes)
+    if html_str == "":
+        return html_str
+    return html_to_markdown(html_str)

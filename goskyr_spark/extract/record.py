@@ -134,9 +134,9 @@ def extract_field(f: Field, rec: dict, nodes: list[Node], base_url: str, base_ye
     elif ftype == "html":
         rec[f.name] = extract_string_field(get_html_string, f, nodes, HTML_PART_SEPARATOR)
     elif ftype == "markdown":
-        # html→markdown parity is not reproducible without the Go library;
-        # none of the 28 golden configs use it (SURVEY §7 hard parts #2).
-        raise ExtractError("markdown fields are not supported in this build")
+        from .markdown import get_markdown_string
+
+        rec[f.name] = extract_string_field(get_markdown_string, f, nodes, HTML_PART_SEPARATOR)
     elif ftype == "url":
         if len(f.location) != 1:
             raise ExtractError(

@@ -164,13 +164,18 @@ class CorpusSpec:
         )
 
     def item_html(self, h: int, p: int, i: int) -> str:
-        body = _words(self.seed, "body", self.body_words, h, p, i)
+        # body rendered as 15-word paragraphs: parse cost tracks tag count
+        # (like real article markup), not just byte count
+        words = _words(self.seed, "body", self.body_words, h, p, i).split()
+        paras = "".join(
+            "<p>" + " ".join(words[j : j + 15]) + "</p>" for j in range(0, len(words), 15)
+        )
         return (
             "<!DOCTYPE html><html><head>"
             f"<title>{self.item_title(h, p, i)}</title></head><body>"
             f'<article class="detail"><h1 class="title">{self.item_title(h, p, i)}</h1>'
             f'<span class="byline">{_words(self.seed, "author", 2, h, p, i)}</span>'
-            f'<div class="body">{body}</div></article>'
+            f'<div class="body">{paras}</div></article>'
             "</body></html>"
         )
 

@@ -1,0 +1,61 @@
+"""Markdown field (F3): conversion shapes + the exact post-processing
+pipeline of HTMLToMarkdown (scrape.go:2196-2221)."""
+
+from __future__ import annotations
+
+from goskyr_spark.config.model import Config
+from goskyr_spark.extract.markdown import html_to_markdown
+from goskyr_spark.extract.record import PageDoc, gq_document
+
+
+def test_blocks_and_inline():
+    md = html_to_markdown(
+        "<div><h2>Title</h2><p>Hello <strong>bold</strong> and <em>it</em>.</p>"
+        '<p>See <a href="/x">link</a>.</p></div>'
+    )
+    # newline doubling caps at \n\n\n between blocks
+    assert "## Title" in md
+    assert "**bold**" in md and "_it_" in md
+    assert "[link](/x)" in md
+    assert "\n\n\n\n" not in md
+
+
+def test_lists_and_nbsp_and_blockquote():
+    md = html_to_markdown(
+        "<ul><li>one&nbsp;a</li><li>two</li></ul><blockquote>quoted</blockquote><hr><p>after</p>"
+    )
+    assert "- one a" in md  # NBSP → space
+    assert "- two" in md
+    assert "> " not in md  # blockquote markers stripped
+    # horizontal rules followed by content are stripped ('* * *\n' rule,
+    # exactly like the Go pipeline; a trailing bare hr survives there too)
+    assert "* * *" not in md
+    assert "quoted" in md and "after" in md
+
+
+def test_markdown_field_end_to_end():
+    yml = """
+id:
+  slug: md-test
+  id: n01a
+scrapers:
+  - url: https://md.example.com
+    selector: div.card
+    fields:
+      - name: body_md
+        type: markdown
+        location:
+          selector: div.body
+"""
+    html = (
+        "<html><body>"
+        '<div class="card"><div class="body"><h3>Head</h3><p>para one</p><p>para two</p></div></div>'
+        '<div class="card"><div class="body"><p>only</p></div></div>'
+        "</body></html>"
+    )
+    cfg = Config.from_yaml(yml)
+    recs = gq_document(cfg, cfg.scrapers[0], PageDoc("https://md.example.com", html))
+    assert len(recs) == 2
+    assert recs[0]["body_md"].startswith("### Head")
+    assert "para one" in recs[0]["body_md"] and "para two" in recs[0]["body_md"]
+    assert recs[1]["body_md"] == "only"

@@ -37,7 +37,7 @@ from goskyr_spark.crawl.bloom import BloomSpec
 cpus = @CPUS@
 spark = build_session(app_name='scaling', master='local[%d]' % cpus, shuffle_partitions=cpus)
 spec = CorpusSpec(n_hosts=@HOSTS@, list_pages_per_host=5, items_per_page=20,
-                  mega_factor=4, seed=42, body_words=1200)
+                  mega_factor=4, seed=42, body_words=4000)
 pages = generate_pages(spark, spec).cache()
 n_pages = pages.count()
 robots = generate_robots(spark, spec)
