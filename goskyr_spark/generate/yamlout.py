@@ -144,6 +144,26 @@ def _field_items(f: Field) -> list[tuple]:
     return out
 
 
+def write_config_to_dir(c: Config, out_dir: str) -> None:
+    """Config.WriteToFile (scrape.go:191-203): ``<ID>.yml`` plus
+    ``<ID>_<n>.json`` when records are attached (S10)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cid = str(c.id)
+    with open(os.path.join(out_dir, cid + ".yml"), "w", encoding="utf-8") as fh:
+        fh.write(dump_config(c))
+    recs = getattr(c, "records", None)
+    if recs:
+        from .configs import records_string
+
+        with open(
+            os.path.join(out_dir, f"{cid}_{len(recs)}.json"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(records_string(recs))
+
+
 def dump_config(c: Config) -> str:
     """Byte-parity with the golden ``.yml`` layout."""
     w = _W()

@@ -59,3 +59,36 @@ scrapers:
     assert recs[0]["body_md"].startswith("### Head")
     assert "para one" in recs[0]["body_md"] and "para two" in recs[0]["body_md"]
     assert recs[1]["body_md"] == "only"
+
+
+def test_fieldname_roundtrip():
+    """F15 fieldname API (scrape/fieldname.go) parity."""
+    from goskyr_spark.extract.fieldname import (
+        compute_field_hash,
+        generate_field_name,
+        is_goskyr_field_name,
+        parse_field_name,
+    )
+
+    n = generate_field_name("div.event > span.title", "", 0)
+    assert n.startswith("F") and n.endswith("--0") and len(n) == 12
+    c, ok = parse_field_name(n)
+    assert ok and c.attribute == "" and c.text_node_index == 0
+    c, ok = parse_field_name("Fa1b2c3d4-href-2")
+    assert ok and c.attribute == "href" and c.text_node_index == 2
+    assert not is_goskyr_field_name("invalid")
+    # same polynomial as the generator's naming (unpadded vs padded)
+    assert compute_field_hash(" x ") == compute_field_hash("x")
+
+
+def test_write_config_to_dir(tmp_path):
+    from goskyr_spark.config.model import read_config
+    from goskyr_spark.generate.yamlout import dump_config, write_config_to_dir
+
+    yml = "/root/reference/testdata/scraping/quotes-toscrape-com_configs/quotes-toscrape-com__n10aba.yml"
+    c = read_config(yml)
+    c.records = [{"a": "1"}]
+    write_config_to_dir(c, str(tmp_path))
+    out = (tmp_path / "quotes-toscrape-com__n10aba.yml").read_text()
+    assert out == dump_config(c)
+    assert (tmp_path / "quotes-toscrape-com__n10aba_1.json").exists()
