@@ -180,14 +180,21 @@ def _prev_element_sibling(node: Node):
 
 
 class SelectorGroup:
-    __slots__ = ("selectors", "source")
+    __slots__ = ("selectors", "source", "_single")
 
     def __init__(self, selectors, source):
         self.selectors = selectors
         self.source = source
+        # hot path: nearly all selectors are single-complex groups
+        self._single = selectors[0] if len(selectors) == 1 else None
 
     def match(self, node: Node) -> bool:
-        return any(s.match(node) for s in self.selectors)
+        if self._single is not None:
+            return self._single.match(node)
+        for s in self.selectors:
+            if s.match(node):
+                return True
+        return False
 
     def __repr__(self):  # pragma: no cover
         return f"SelectorGroup({self.source!r})"
@@ -327,6 +334,24 @@ def find(roots: list[Node], selector: str) -> list[Node]:
     root participate in combinator checks, like cascadia's behavior on a
     full document tree).
     """
+    # memoized single-root path: each container node is re-queried once per
+    # field per record — the reference caches these finds per Document /
+    # Selection (fetch/cache.go:111-141); we cache on the root node itself
+    if len(roots) == 1:
+        root = roots[0]
+        cache = root.find_cache
+        if cache is None:
+            cache = root.find_cache = {}
+        hit = cache.get(selector)
+        if hit is not None:
+            return list(hit)
+        out = _find_uncached(roots, selector)
+        cache[selector] = out
+        return list(out)
+    return _find_uncached(roots, selector)
+
+
+def _find_uncached(roots: list[Node], selector: str) -> list[Node]:
     sel = compile_selector(selector)
     out = []
     seen = set()

@@ -73,7 +73,7 @@ class Node:
     """One DOM node. Mirrors x/net/html's Node shape (type, data, attrs,
     parent/children) so the extraction walk reads like the reference's."""
 
-    __slots__ = ("type", "tag", "text", "attrs", "classes", "parent", "children")
+    __slots__ = ("type", "tag", "text", "attrs", "classes", "parent", "children", "find_cache")
 
     def __init__(self, type_, tag="", text="", attrs=None):
         self.type = type_
@@ -83,6 +83,8 @@ class Node:
         self.classes = ()
         self.parent = None
         self.children = []
+        self.find_cache = None  # per-node selector→result memo (cf. goskyr's
+        # per-Document/Selection Find caches, fetch/cache.go:111-141)
 
     # -- tree ops ---------------------------------------------------------
     def append(self, child):

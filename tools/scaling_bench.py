@@ -84,8 +84,9 @@ def run_at(cpus: int, hosts: int) -> dict:
 
 def main():
     hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 800
-    small = run_at(8, hosts)
-    big = run_at(32, hosts)
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    small = run_at(n_small, hosts)
+    big = run_at(4 * n_small, hosts)
 
     def eff(key):
         sp = big[key] / small[key]
@@ -104,8 +105,8 @@ cluster available here). north_rule target: efficiency ≥ 0.8.
 
 | parallelism | pages | wall (s) | pages/sec | pages/sec/core |
 |---|---|---|---|---|
-| local[8]  | {small['pages']} | {small['extract_wall_s']} | {small['extract_pages_per_sec']} | {round(small['extract_pages_per_sec']/8,1)} |
-| local[32] | {big['pages']} | {big['extract_wall_s']} | {big['extract_pages_per_sec']} | {round(big['extract_pages_per_sec']/32,1)} |
+| local[{n_small}]  | {small['pages']} | {small['extract_wall_s']} | {small['extract_pages_per_sec']} | {round(small['extract_pages_per_sec']/n_small,1)} |
+| local[{4*n_small}] | {big['pages']} | {big['extract_wall_s']} | {big['extract_pages_per_sec']} | {round(big['extract_pages_per_sec']/(4*n_small),1)} |
 
 **Speedup {ex_sp:.2f}× on 4× cores → scaling efficiency {ex_eff:.2f}**
 
@@ -113,8 +114,8 @@ cluster available here). north_rule target: efficiency ≥ 0.8.
 
 | parallelism | URLs | wall (s) | URLs/sec | URLs/sec/core |
 |---|---|---|---|---|
-| local[8]  | {small['urls']} | {small['crawl_wall_s']} | {small['crawl_urls_per_sec']} | {round(small['crawl_urls_per_sec']/8,1)} |
-| local[32] | {big['urls']} | {big['crawl_wall_s']} | {big['crawl_urls_per_sec']} | {round(big['crawl_urls_per_sec']/32,1)} |
+| local[{n_small}]  | {small['urls']} | {small['crawl_wall_s']} | {small['crawl_urls_per_sec']} | {round(small['crawl_urls_per_sec']/n_small,1)} |
+| local[{4*n_small}] | {big['urls']} | {big['crawl_wall_s']} | {big['crawl_urls_per_sec']} | {round(big['crawl_urls_per_sec']/(4*n_small),1)} |
 
 **Speedup {crawl_sp:.2f}× on 4× cores → scaling efficiency {crawl_eff:.2f}**
 
@@ -134,7 +135,8 @@ seen set outgrows the exact anti-join.
 
 Raw: {json.dumps({'local8': small, 'local32': big})}
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as fh:
+    out_name = "BENCH_SCALING.md" if n_small == 8 else f"BENCH_SCALING_{n_small}v{4*n_small}.md"
+    with open(os.path.join(REPO, out_name), "w") as fh:
         fh.write(md)
     print(md)
 
