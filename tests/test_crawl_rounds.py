@@ -174,3 +174,16 @@ def test_politeness_budget_respected(spark, corpus, tmp_path):
         run.visit_log().groupBy("round_id", "host").count().toPandas()
     )
     assert (per_host["count"] <= budget).all()
+
+    # north_rule lineage: per-partition counters reconcile with the visit log
+    import os
+
+    for rnd in (0, 1):
+        counters = spark.read.parquet(
+            os.path.join(str(tmp_path / "wh4"), "counters", f"round={rnd}")
+        )
+        n_counted = (
+            counters.filter("stage = 'selected'").groupBy().sum("n").first()[0] or 0
+        )
+        n_visited = run.visit_log().filter(f"round_id = {rnd}").count()
+        assert n_counted == n_visited

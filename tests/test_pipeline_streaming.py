@@ -105,3 +105,36 @@ def test_host_rate_stream_watermark(spark, tmp_path):
     # state machine itself must run clean (no rows expected for a single
     # static timestamp batch)
     assert spark.sql("select * from host_rates").columns == ["window", "host", "pages"]
+
+
+def test_stateful_rate_guard_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals survive micro-batch
+    boundaries via the state store."""
+    from pyspark.sql import functions as F
+
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+    from goskyr_spark.streaming.stateful import run_rate_guard
+
+    spec = CorpusSpec(n_hosts=2, list_pages_per_host=3, items_per_page=3, mega_factor=1, seed=21)
+    pages = generate_pages(spark, spec).cache()
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ck")
+
+    out_dir = str(tmp_path / "guard")
+    first = pages.limit(10)
+    first.write.mode("append").parquet(pages_dir)
+    q = run_rate_guard(spark, pages_dir, out_dir, ckpt, budget=10)
+    q.awaitTermination()
+    t1 = {r["host"]: r["total_pages"] for r in spark.read.parquet(out_dir).collect()}
+    assert sum(t1.values()) == 10
+
+    pages.join(first.select("url"), "url", "left_anti").write.mode("append").parquet(pages_dir)
+    q = run_rate_guard(spark, pages_dir, out_dir, ckpt, budget=10)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    # totals accumulated across the two passes (state store persistence)
+    latest = {}
+    for r in rows:
+        latest[r["host"]] = max(latest.get(r["host"], 0), r["total_pages"])
+    assert sum(latest.values()) == spec.total_pages
+    assert any(r["over_budget"] for r in rows)
