@@ -187,3 +187,29 @@ def test_politeness_budget_respected(spark, corpus, tmp_path):
         )
         n_visited = run.visit_log().filter(f"round_id = {rnd}").count()
         assert n_counted == n_visited
+
+
+def test_bloom_on_off_equivalence(spark, tmp_path):
+    """The adaptive bloom threshold must never change WHAT is crawled —
+    bloom-engaged and exact-only runs produce identical visit sets and
+    orders."""
+    spec = CorpusSpec(n_hosts=3, list_pages_per_host=2, items_per_page=3, mega_factor=2, seed=17)
+    pages = generate_pages(spark, spec).cache()
+    pages.count()
+    cfg = combined_config_yaml(spec)
+
+    def crawl(wh, bloom_min_seen):
+        run = CrawlRun(
+            spark, wh, pages, cfg, robots=None,
+            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+            default_budget=8, n_salts=4, follow_links=True,
+            bloom_min_seen=bloom_min_seen,
+        )
+        run.init(spec.seed_urls())
+        run.run(max_rounds=20)
+        return run.visit_log().orderBy("round_id", "host", "visit_rank").toPandas()
+
+    with_bloom = crawl(str(tmp_path / "wb"), 0)
+    without = crawl(str(tmp_path / "wo"), 10**9)
+    assert with_bloom[["url", "round_id", "visit_rank"]].values.tolist() == \
+        without[["url", "round_id", "visit_rank"]].values.tolist()
