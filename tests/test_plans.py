@@ -75,3 +75,41 @@ def test_whole_stage_codegen_covers_textstats(spark):
     assert "* Project" in plan
     # no python UDF in the hot path
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_pages_join_avoids_exchange(spark, tmp_path):
+    """The production fetch join co-locates by bucketing the pages table
+    on url: the bucketed side must join with NO Exchange (the frontier
+    side alone shuffles into the bucket layout)."""
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spec = CorpusSpec(n_hosts=3, list_pages_per_host=2, items_per_page=3, mega_factor=1, seed=5)
+        pages = generate_pages(spark, spec)
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+        (
+            pages.write.mode("overwrite")
+            .option("path", str(tmp_path / "pages_bucketed"))
+            .bucketBy(8, "url")
+            .sortBy("url")
+            .saveAsTable("pages_bucketed")
+        )
+        import re
+
+        def n_exchanges(df):
+            return len(re.findall(r"\(\d+\) Exchange", plan_of(df)))
+
+        bucketed = spark.table("pages_bucketed")
+        frontier = pages.select("url").limit(10)
+        joined = frontier.join(bucketed, "url")
+        plan = plan_of(joined)
+        assert "Bucketed: true" in plan, plan
+        # the bucketed side joins without its own shuffle: one fewer
+        # Exchange than the identical join against the plain table
+        plain = frontier.join(spark.read.parquet(str(tmp_path / "pages_bucketed")), "url")
+        assert n_exchanges(joined) == n_exchanges(plain) - 1, plan
+        assert joined.count() == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed")

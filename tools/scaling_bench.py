@@ -35,10 +35,10 @@ from goskyr_spark.crawl.rounds import CrawlRun
 from goskyr_spark.crawl.bloom import BloomSpec
 
 cpus = @CPUS@
-spark = build_session(app_name='scaling', master='local[%d]' % cpus, shuffle_partitions=cpus)
+spark = build_session(app_name='scaling', master='local[%d]' % cpus, shuffle_partitions=3 * cpus)
 spec = CorpusSpec(n_hosts=@HOSTS@, list_pages_per_host=5, items_per_page=20,
                   mega_factor=4, seed=42, body_words=4000)
-pages = generate_pages(spark, spec).cache()
+pages = generate_pages(spark, spec, partitions=4 * cpus).cache()
 n_pages = pages.count()
 robots = generate_robots(spark, spec)
 cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
