@@ -44,12 +44,16 @@ robots = generate_robots(spark, spec)
 cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
 
 # 2) extraction stage over the whole corpus, one job (work-dominated)
+# per-job shuffle sizing: the wide extract job wants fine granularity,
+# the many small round stages of the crawl want coarse
 from goskyr_spark.spark.extract_udf import parse_pages, explode_records
+spark.conf.set('spark.sql.shuffle.partitions', str(3 * cpus))
 t0 = time.time()
 explode_records(parse_pages(pages, cfg)).write.format('noop').mode('overwrite').save()
 t_extract = time.time() - t0
 
 # 1) full crawl engine to completion
+spark.conf.set('spark.sql.shuffle.partitions', str(cpus))
 wh = tempfile.mkdtemp(prefix='scaling_wh_')
 run = CrawlRun(spark, wh, pages, cfg, robots=robots,
                bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
