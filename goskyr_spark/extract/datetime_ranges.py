@@ -53,6 +53,8 @@ _DMY_RE = re.compile(rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\.?\s+({_MONTH_ALT})\.?
 _MD_RE = re.compile(rf"(?i)\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\b")
 # "3 Feb"
 _DM_RE = re.compile(rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\.?\s+({_MONTH_ALT})\b")
+# "10.03.2023" dotted day-first (continental)
+_DOTTED_DMY_RE = re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
 # time "19:00" / "7:30pm"
 _TIME_RE = re.compile(r"\b(\d{1,2}):(\d{2})(?::(\d{2}))?\s*(am|pm|AM|PM)?\b")
 
@@ -69,11 +71,15 @@ class DateTimePoint:
     second: int | None = None
     utc: bool = False
 
+    tz: str | None = None  # rendered zone suffix ("Z" / "+01:00")
+
     def render(self) -> str:
         s = f"{self.year:04d}-{self.month:02d}-{self.day:02d}"
         if self.hour is not None:
             s += f"T{self.hour:02d}:{self.minute or 0:02d}:{self.second or 0:02d}"
-            if self.utc:
+            if self.tz:
+                s += self.tz
+            elif self.utc:
                 s += "Z"
         return s
 
@@ -101,6 +107,50 @@ class DateTimeRanges:
 
     def __str__(self) -> str:
         return ", ".join(r.render() for r in self.items)
+
+
+def _tz_suffix(y: int, mo: int, d: int, hh: int, mm: int, date_location: str) -> str:
+    """RFC3339 zone suffix for the location at that local time (phil
+    renders explicit-time points in the config's DateLocation zone)."""
+    if not date_location:
+        return "Z"
+    try:
+        from datetime import timedelta
+        from zoneinfo import ZoneInfo
+
+        off = datetime(y, mo, d, hh, mm, tzinfo=ZoneInfo(date_location)).utcoffset()
+        if off is None:
+            return "Z"
+        total = int(off.total_seconds())
+        sign = "+" if total >= 0 else "-"
+        total = abs(total)
+        return f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
+    except Exception:
+        return "Z"
+
+
+def _find_time(text: str):
+    """First explicit clock time in the text → (hour, minute) or None."""
+    m = _TIME_RE.search(text)
+    if not m:
+        return None
+    hh, mm = int(m.group(1)), int(m.group(2))
+    ampm = (m.group(4) or "").lower()
+    if ampm == "pm" and hh < 12:
+        hh += 12
+    elif ampm == "am" and hh == 12:
+        hh = 0
+    if hh > 23 or mm > 59:
+        return None
+    return hh, mm
+
+
+def _with_time(pt: DateTimePoint, text: str, date_location: str) -> DateTimePoint:
+    t = _find_time(text)
+    if t is not None:
+        pt.hour, pt.minute, pt.second = t[0], t[1], 0
+        pt.tz = _tz_suffix(pt.year, pt.month, pt.day, t[0], t[1], date_location)
+    return pt
 
 
 def _validate(y: int, m: int, d: int) -> bool:
@@ -152,19 +202,35 @@ def parse_ranges(text: str, base_year: int = 0, ref_time=None, date_location: st
         if _validate(y, mo, d):
             return DateTimeRanges([DateTimeRange(DateTimePoint(y, mo, d))])
 
-    # priority 5: month+day without year -> baseYear
-    m = _MD_RE.search(text)
+    # priority 4b: dotted continental "10.03.2023" (day-first), with the
+    # text's explicit clock time attached when present
+    # (scrape_test.go:697-735 expects 2023-03-10T20:00 Europe/Berlin)
+    m = _DOTTED_DMY_RE.search(text)
     if m:
-        mo, d = MONTHS[m.group(1).lower()], int(m.group(2))
+        d, mo, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if mo <= 12 and _validate(y, mo, d):
+            pt = _with_time(DateTimePoint(y, mo, d), text, date_location)
+            return DateTimeRanges([DateTimeRange(pt)])
+
+    # priority 5: month+day without year -> baseYear. When both orders
+    # match (e.g. "10 March 20:00" also matches "March 20"), the
+    # earliest-starting match wins — phil scans left to right
+    # (scrape_test.go:737-775).
+    m_md = _MD_RE.search(text)
+    m_dm = _DM_RE.search(text)
+    if m_md and m_dm and m_dm.start() < m_md.start():
+        m_md, m_dm = None, m_dm
+    if m_md:
+        mo, d = MONTHS[m_md.group(1).lower()], int(m_md.group(2))
         y = base_year or (ref_time.year if ref_time else datetime.now().year)
         if _validate(y, mo, d):
             return DateTimeRanges([DateTimeRange(DateTimePoint(y, mo, d))])
-    m = _DM_RE.search(text)
-    if m:
-        d, mo = int(m.group(1)), MONTHS[m.group(2).lower()]
+    if m_dm:
+        d, mo = int(m_dm.group(1)), MONTHS[m_dm.group(2).lower()]
         y = base_year or (ref_time.year if ref_time else datetime.now().year)
         if _validate(y, mo, d):
-            return DateTimeRanges([DateTimeRange(DateTimePoint(y, mo, d))])
+            pt = _with_time(DateTimePoint(y, mo, d), text, date_location)
+            return DateTimeRanges([DateTimeRange(pt)])
 
     return None
 
