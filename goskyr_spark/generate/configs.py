@@ -381,8 +381,30 @@ def expand_all_possible_configs(doc: PageDoc, opts: GenOptions, lps, root_select
     return rs
 
 
+def configurations_with_evidence_report(doc: PageDoc, opts: GenOptions):
+    """ConfigurationsForGQDocumentWithEvidenceReport
+    (generate.go:434-449): generates configs and reports which
+    static-field evidence rows matched at least one location. Returns
+    (configs, matched_indexes, unmatched_indexes)."""
+    if opts.static_field_evidence and not opts.only_varying_fields:
+        raise ValueError("static field evidence requires OnlyVaryingFields")
+    for i, (values, count) in enumerate(opts.static_field_evidence):
+        if count <= 0:
+            raise ValueError(f"static field evidence row {i}: positive occurrence count required")
+        if len(values) != count:
+            raise ValueError(
+                f"static field evidence row {i}: value count {len(values)} must equal occurrence count {count}"
+            )
+    matched_any = [False] * len(opts.static_field_evidence)
+    rs = configurations_for_gq_document(doc, opts, evidence_matched=matched_any)
+    matched = [i for i, ok in enumerate(matched_any) if ok]
+    unmatched = [i for i, ok in enumerate(matched_any) if not ok]
+    return rs, matched, unmatched
+
+
 def configurations_for_gq_document(doc: PageDoc, opts: GenOptions,
-                                   rs: dict | None = None) -> dict:
+                                   rs: dict | None = None,
+                                   evidence_matched: list | None = None) -> dict:
     """configurationsForGQDocument (generate.go:453-596): sweep MinOccs
     descending, accumulating configs keyed by records-string."""
     if rs is None:
@@ -400,6 +422,10 @@ def configurations_for_gq_document(doc: PageDoc, opts: GenOptions,
             only_varying_fields=o.only_varying_fields,
             evidence=o.static_field_evidence,
         )
+        if evidence_matched is not None:
+            for i, ok in enumerate(matched):
+                if ok and i < len(evidence_matched):
+                    evidence_matched[i] = True
         if not lps:
             continue
         pag_props = []  # reference FIXME at generate.go:579-582 discards them

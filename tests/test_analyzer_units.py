@@ -113,3 +113,91 @@ DDT_CASES = [
 @pytest.mark.parametrize("text,want", DDT_CASES, ids=[c[0][:40] or "empty" for c in DDT_CASES])
 def test_date_dominated_text(text, want):
     assert date_dominated_text(text) is want
+
+
+def test_static_field_evidence_bounds_and_report():
+    """analyze_test.go:388-447: evidence row 0 matches the 'Assessor'
+    static location; chrome text never leaks into records."""
+    from goskyr_spark.extract.record import PageDoc
+    from goskyr_spark.generate.configs import GenOptions, configurations_with_evidence_report
+
+    html = """<html><body><main class="directory">
+<article class="person"><h2>Aga</h2><div class="role">Assessor</div><div class="chrome">Directory</div></article>
+<article class="person"><h2>Ada</h2><div class="chrome">Directory</div></article>
+<article class="person"><h2>Alex</h2><div class="chrome">Directory</div></article>
+<article class="person"><h2>Ari</h2><div class="chrome">Directory</div></article>
+</main></body></html>"""
+    doc = PageDoc("https://example.com/trainers", html)
+    opts = GenOptions(
+        url="https://example.com/trainers",
+        min_occs=(1,),
+        min_records=2,
+        only_varying_fields=True,
+        static_field_evidence=[
+            (["  Assessor\n"], 1),
+            (["Directory", "Directory", "Directory"], 3),
+            (["Mentor"], 1),
+        ],
+    ).init()
+    configs, matched, unmatched = configurations_with_evidence_report(doc, opts)
+    assert configs
+    assert matched == [0]
+    assert unmatched == [1, 2]
+    for c in configs.values():
+        for rec in getattr(c, "records", []) or []:
+            assert "Directory" not in rec.values()
+
+
+def test_static_field_evidence_requires_varying_mode():
+    from goskyr_spark.generate.configs import GenOptions, configurations_with_evidence_report
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        configurations_with_evidence_report(
+            None,
+            GenOptions(only_varying_fields=False,
+                       static_field_evidence=[(["Assessor"], 1)]),
+        )
+
+
+def test_find_clusters_does_not_mutate_root_backed_paths():
+    """analyze_test.go:459-504."""
+    from goskyr_spark.generate.selectors import find_clusters
+
+    card_path = [GNode("body"), GNode("div", ["container"]),
+                 GNode("div", ["main", "current"]),
+                 GNode("article", ["card", "article"]),
+                 GNode("div", ["card-body"]), GNode("div", ["name"])]
+    root = card_path[:2]
+    card = LocationProps(path=card_path, count=10, examples=["Abby"])
+    form = LocationProps(
+        path=[GNode("body"), GNode("div", ["container"]), GNode("form"), GNode("select")],
+        count=10, examples=["filter"])
+    clusters = find_clusters([card, form], root)
+    key = "body > div.container > div.main.current"
+    assert key in clusters, clusters.keys()
+    assert card.path[2].string() == "div.main.current"  # not mutated
+    assert path_string(clusters[key][0].path[: len(root) + 1]) == key
+
+
+def test_squash_preserves_positional_sibling_alternatives():
+    """analyze_test.go:506-541."""
+    from goskyr_spark.generate.analyzer import squash_location_manager
+
+    lps = []
+    for record in (1, 2):
+        for paragraph in (1, 2, 3):
+            lps.append(LocationProps(
+                text_index=0,
+                path=[GNode("body"),
+                      GNode("div", ["card"], [f"nth-child({record})"]),
+                      GNode("p", [], [f"nth-child({paragraph})"])],
+                count=1,
+                examples=[f"record {record} paragraph {paragraph}"]))
+    got = squash_location_manager(lps, 2)
+    by_path = {path_string(lp.path): lp.count for lp in got}
+    assert by_path.get("body > div.card > p") == 6, by_path
+    for paragraph in (1, 2, 3):
+        assert by_path.get(f"body > div.card > p:nth-child({paragraph})") == 2, by_path
+    assert "body > div.card:nth-child(1) > p" not in by_path
