@@ -87,9 +87,11 @@ def domain_udf(hosts: pd.Series) -> pd.Series:
 
 
 def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
-                depth_col="depth", round_id: int = 0) -> DataFrame:
+                depth_col="depth", round_id: int = 0, dedup: bool = True) -> DataFrame:
     """urls(url, priority, depth) → FRONTIER rows: canonicalize, hash,
-    host/domain keys, per-URL dedup keeping the best (lowest) priority."""
+    host/domain keys, per-URL dedup keeping the best (lowest) priority.
+    ``dedup=False`` defers the dedup shuffle so the caller can fuse it
+    with a downstream union (one shuffle instead of two)."""
     df = (
         urls.withColumn("url", canonical_url_udf("url"))
         .withColumn("url_hash", F.xxhash64("url"))
@@ -98,9 +100,16 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         .withColumn("priority", F.col(priority_col).cast("double"))
         .withColumn("depth", F.col(depth_col).cast("int"))
         .withColumn("round_added", F.lit(round_id).cast("int"))
-    )
+    ).select(*[f.name for f in schemas.FRONTIER.fields])
+    if not dedup:
+        return df
+    return dedup_frontier(df)
+
+
+def dedup_frontier(df: DataFrame) -> DataFrame:
+    """Per-URL dedup keeping the best (lowest) (priority, url)."""
     return df.groupBy("url_hash").agg(
-        F.min_by(F.struct(*[f.name for f in schemas.FRONTIER.fields]), F.struct("priority", "url")).alias("s")
+        F.min_by(F.struct(*df.columns), F.struct("priority", "url")).alias("s")
     ).select("s.*")
 
 
@@ -304,24 +313,18 @@ class CrawlRun:
             )
             new_urls = new_urls.unionByName(links)
 
-        new_frontier = to_frontier(new_urls, spec, round_id=rnd + 1).withColumn(
+        # new URLs: canonicalize WITHOUT the intermediate dedup shuffle —
+        # the dedup below over (carry ∪ new) subsumes it (carry rows are
+        # unseen-by-construction, so the seen/selected anti-join applied
+        # to the whole union is a no-op on them)
+        new_frontier = to_frontier(new_urls, spec, round_id=rnd + 1, dedup=False).withColumn(
             "bucket", spec.bucket_col(F.col("url_hash"))
         )
         new_frontier = admission_filter(new_frontier)
-        # exclude already-visited and this round's visits
         exclude = seen.select("url_hash").unionByName(selected.select("url_hash"))
-        new_frontier = new_frontier.join(exclude, on="url_hash", how="left_anti")
-
-        next_frontier = (
-            carry.unionByName(new_frontier)
-            .groupBy("url_hash")
-            .agg(
-                F.min_by(
-                    F.struct(*[c for c in carry.columns]), F.struct("priority", "url")
-                ).alias("s")
-            )
-            .select("s.*")
-        )
+        next_frontier = dedup_frontier(
+            carry.select(*new_frontier.columns).unionByName(new_frontier)
+        ).join(exclude, on="url_hash", how="left_anti")
 
         # ---- writes (deltas first, manifest last = atomic commit) ----
         t_w0 = time.time()
