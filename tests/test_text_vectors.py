@@ -94,3 +94,57 @@ def test_extract_field_text_regex():
         )
     )
     assert rec["time"] == "20:00"
+
+
+RICH = """
+<div class="event-page">
+\t<h1 class="event-title">Weekend Retreat</h1>
+\t<div class="event-description">
+\t\t<p>Join us for a <strong>transformative weekend</strong> exploring the Enneagram.</p>
+\t\t<p>What to bring:</p>
+\t\t<ul>
+\t\t\t<li>Journal and pen</li>
+\t\t\t<li>Comfortable clothing</li>
+\t\t</ul>
+\t\t<p>Visit <a href="https://example.com/venue">our venue</a> for directions.</p>
+\t\t<p><img src="retreat.jpg" alt="Retreat photo">Beautiful setting.</p>
+\t</div>
+\t<div class="event-summary">A weekend retreat for exploring the Enneagram.</div>
+</div>"""
+
+
+def _html_string(selector: str, html: str = RICH) -> str:
+    from goskyr_spark.extract.text import get_html_string
+
+    doc = PageDoc("", html)
+    return get_html_string(ElementLocation(selector=selector), [doc.tree])
+
+
+def test_get_html_string_rich():
+    """scrape_test.go:1095-1121: inner HTML with tags preserved."""
+    s = _html_string(".event-description")
+    assert "<strong>" in s
+    assert "<ul>" in s
+    assert 'href="https://example.com/venue"' in s
+    assert "<img" in s
+
+
+def test_get_html_string_empty_and_plain():
+    assert _html_string(".nonexistent") == ""
+    assert _html_string(".event-summary") == "A weekend retreat for exploring the Enneagram."
+
+
+def test_get_html_string_multiple_nodes_skip_empty():
+    """scrape_test.go:1163-1196: all matched nodes joined with <br>,
+    empty leading <p> skipped."""
+    html = """<div class="wrapper">
+\t\t<div class="content">
+\t\t\t<p></p>
+\t\t\t<p>First paragraph with <strong>bold</strong> text.</p>
+\t\t\t<p>Second paragraph.</p>
+\t\t</div>
+\t</div>"""
+    s = _html_string("div.content p", html)
+    assert "First paragraph" in s and "Second paragraph" in s
+    assert "<strong>bold</strong>" in s
+    assert "<br>" in s  # HTMLNodeSeparator between parts
