@@ -206,7 +206,12 @@ class CrawlRun:
 
     def _seen_all(self, upto: int) -> DataFrame:
         """Seen set = union of per-round visit logs (the ``selected``
-        deltas double as the seen table — no separate write)."""
+        deltas double as the seen table — no separate write), minus any
+        re-crawl requeues. The requeue subtraction happens on the EXACT
+        side, so it composes with the bloom pre-filter (blooms cannot
+        delete — a requeued URL is bloom-positive but survives the exact
+        verification; the cuckoo sketch in crawl/cuckoo.py is the
+        alternative for when even the exact table must stay sketched)."""
         paths = [
             self._p("selected", r)
             for r in range(upto + 1)
@@ -214,7 +219,7 @@ class CrawlRun:
         ]
         if not paths:
             return self.spark.createDataFrame([], schemas.SEEN)
-        return (
+        seen = (
             self.spark.read.parquet(*paths)
             .select(
                 "url_hash",
@@ -222,6 +227,40 @@ class CrawlRun:
                 F.col("round_id").alias("round_added"),
             )
         )
+        rq = os.path.join(self.warehouse, "requeued")
+        if os.path.exists(rq):
+            # forgive only visits made BEFORE the requeue — the re-fetch
+            # itself (round_added >= requeue_round) counts as seen again
+            requeued = (
+                self.spark.read.schema("url_hash long, requeue_round int")
+                .parquet(rq)
+                .groupBy("url_hash")
+                .agg(F.max("requeue_round").alias("requeue_round"))
+            )
+            seen = (
+                seen.join(requeued, on="url_hash", how="left")
+                .filter(
+                    F.col("requeue_round").isNull()
+                    | (F.col("round_added") >= F.col("requeue_round"))
+                )
+                .drop("requeue_round")
+            )
+        return seen
+
+    def requeue(self, urls: list[str]) -> None:
+        """Re-crawl semantics: drop the given URLs from the seen set and
+        put them back on the next round's frontier (highest priority).
+        Call between rounds; the next ``run()`` fetches them again."""
+        rnd = self.resume_round()
+        rows = [(u, -1.0 - i, 0) for i, u in enumerate(urls)]
+        add = to_frontier(
+            self.spark.createDataFrame(rows, "url string, priority double, depth int"),
+            self.spec, round_id=rnd,
+        ).withColumn("bucket", self.spec.bucket_col(F.col("url_hash")))
+        add.select(
+            "url_hash", F.lit(rnd).cast("int").alias("requeue_round")
+        ).write.mode("append").parquet(os.path.join(self.warehouse, "requeued"))
+        add.write.mode("append").parquet(self._p("frontier", rnd))
 
     def init(self, seed_urls: list[str]) -> None:
         """Round-0 frontier from the seed list; seeds get priorities

@@ -213,3 +213,29 @@ def test_bloom_on_off_equivalence(spark, tmp_path):
     without = crawl(str(tmp_path / "wo"), 10**9)
     assert with_bloom[["url", "round_id", "visit_rank"]].values.tolist() == \
         without[["url", "round_id", "visit_rank"]].values.tolist()
+
+
+def test_requeue_recrawl_exactly_once_more(spark, tmp_path):
+    """Re-crawl semantics: requeued URLs are fetched exactly once more;
+    everything else stays exactly-once."""
+    spec = CorpusSpec(n_hosts=2, list_pages_per_host=2, items_per_page=2, mega_factor=1, seed=23)
+    pages = generate_pages(spark, spec).cache()
+    pages.count()
+    run = CrawlRun(
+        spark, str(tmp_path / "wh"), pages, combined_config_yaml(spec), robots=None,
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=16, n_salts=4, follow_links=True,
+    )
+    run.init(spec.seed_urls())
+    run.run(max_rounds=20)
+    first = run.visit_log().toPandas()
+    assert first["url"].is_unique
+
+    targets = [spec.host_base(0) + "/list/0", spec.host_base(1) + "/item/0-1"]
+    run.requeue(targets)
+    run.run(max_rounds=30)
+    visits = run.visit_log().toPandas()
+    counts = visits.groupby("url").size()
+    for t in targets:
+        assert counts[t] == 2, (t, counts[t])
+    assert (counts.drop(targets) == 1).all()
