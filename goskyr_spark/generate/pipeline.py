@@ -61,3 +61,62 @@ def generate_for_fixture(cat_dir: str, url: str, require_string: str = "", ref_t
         render_js=True,
         ref_time=ref_time,
     )
+
+
+def extend_page_config_records_with_next(config, doc, get_page, ref_time=None) -> None:
+    """ExtendPageConfigRecordsWithNext (R7,
+    ``/root/reference/generate/generate.go:872-964``): propose next-page
+    URLs from every paginator candidate, drop javascript:/self links,
+    scrape each proposed page with the same config, append the records,
+    and keep only the paginators that produced records.
+
+    NOTE the reference's own fetch map is empty (the FIXME at
+    generate.go:911), so with ``get_page=None`` this faithfully degrades
+    to the reference behavior: nothing is fetched and every paginator is
+    dropped. Passing a real ``get_page`` enables the documented intent.
+    """
+    from ..extract.record import ExtractError, gq_document
+    from ..extract.text import get_text_string
+    from ..extract.urlutil import first_url_part, resolve_url, trim_url_scheme
+
+    scraper = config.scrapers[0]
+    base_url = doc.base_href() or scraper.url
+    us_map = {}
+    for pag in scraper.paginators:
+        loc = pag.location
+        if loc.attr == "":
+            loc.attr = "href"
+        rel = get_text_string(loc, [doc.tree])
+        try:
+            u = resolve_url(base_url, first_url_part(rel))
+        except Exception:
+            continue
+        if not u or u.startswith("javascript:"):
+            continue
+        short_u, short_base = trim_url_scheme(u), trim_url_scheme(scraper.url)
+        if short_u in (short_base, "www." + short_base) or "www." + short_u == short_base:
+            continue
+        us_map[short_u] = pag
+
+    new_pags = []
+    records = getattr(config, "records", None)
+    if records is None:
+        records = config.records = []
+    for u, pag in us_map.items():
+        html = get_page("https://" + u) if get_page else None
+        if html is None and get_page:
+            html = get_page("http://" + u)
+        if html is None:
+            continue
+        from ..extract.record import PageDoc, strip_http_header
+
+        next_doc = PageDoc("https://" + u, strip_http_header(html))
+        try:
+            recs = gq_document(config, scraper, next_doc, ref_time)
+        except ExtractError:
+            continue
+        if not recs:
+            continue
+        records.extend(recs)
+        new_pags.append(pag)
+    scraper.paginators = new_pags

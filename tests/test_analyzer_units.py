@@ -201,3 +201,55 @@ def test_squash_preserves_positional_sibling_alternatives():
     for paragraph in (1, 2, 3):
         assert by_path.get(f"body > div.card > p:nth-child({paragraph})") == 2, by_path
     assert "body > div.card:nth-child(1) > p" not in by_path
+
+
+def test_extend_page_config_records_with_next():
+    """R7 (generate.go:872-964): next-page records appended; paginators
+    that produce nothing are dropped; with no fetcher (the reference's
+    own dead-cache state) everything degrades to empty paginators."""
+    from goskyr_spark.config.model import Config
+    from goskyr_spark.extract.record import PageDoc
+    from goskyr_spark.generate.pipeline import extend_page_config_records_with_next
+
+    yml = """
+id:
+  slug: x-com
+  id: n01a
+scrapers:
+  - url: https://x.com/list
+    selector: article
+    fields:
+      - name: t
+        location:
+          selector: h2
+    paginators:
+      - location:
+          selector: a.next
+          attr: href
+      - location:
+          selector: a.dead
+          attr: href
+"""
+    page1 = ('<html><body><article><h2>A</h2></article>'
+             '<a class="next" href="/list2">Next</a>'
+             '<a class="dead" href="/nowhere">x</a></body></html>')
+    page2 = "<html><body><article><h2>B</h2></article></body></html>"
+
+    def get_page(url):
+        if url.endswith("/list2"):
+            return page2
+        return None
+
+    cfg = Config.from_yaml(yml)
+    cfg.records = [{"t": "A"}]
+    doc = PageDoc("https://x.com/list", page1)
+    extend_page_config_records_with_next(cfg, doc, get_page)
+    assert [r["t"] for r in cfg.records] == ["A", "B"]
+    assert len(cfg.scrapers[0].paginators) == 1
+    assert cfg.scrapers[0].paginators[0].location.selector == "a.next"
+
+    # reference parity mode: dead fetch map → no extension, paginators cleared
+    cfg2 = Config.from_yaml(yml)
+    cfg2.records = []
+    extend_page_config_records_with_next(cfg2, PageDoc("https://x.com/list", page1), None)
+    assert cfg2.scrapers[0].paginators == []
