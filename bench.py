@@ -53,6 +53,9 @@ def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # session warmup (JVM/codegen/python-worker startup) so the first
+    # timed query is not charged for it
+    force(qs["visited_dedup"](spark, SF_DIR))
     out = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

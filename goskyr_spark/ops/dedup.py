@@ -158,10 +158,19 @@ def minhash_lsh_pairs(
     the standard near-dup path (the exact n-gram join is the verifier
     for the candidate residue only)."""
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(docs, n_perm, shingle_k)
+    # pack the 64 per-permutation mins into ONE array column right after
+    # the aggregation: the banding hashes and the match count then work
+    # on array slices/zip_with instead of 64-wide column lists — keeps
+    # whole-stage codegen compilation (the dominant cost of wide plans)
+    # linear, and the signature persists once for its three consumers
     rows_per_band = n_perm // bands
+    sig = (
+        minhash_signatures(docs, n_perm, shingle_k)
+        .select("doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig"))
+        .persist()
+    )
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
@@ -176,9 +185,11 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perm)])
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perm)])
-    matches = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_perm))
+    siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
     return (
         pairs.join(siga, "doc_a")
         .join(sigb, "doc_b")
