@@ -356,12 +356,19 @@ class Scraper:
 @dataclass
 class ConfigID:
     """Hierarchical config identity (``{slug}__{id}_{field}_{subid}``),
-    string form at ``/root/reference/scrape/scrape.go:114-148``."""
+    string form at ``/root/reference/scrape/scrape.go:114-148``; compact
+    mode (``WithCompact``/``compactConfigIDString``,
+    ``scrape/scrape.go:106-162``) omits the URL-derived slug."""
 
     slug: str = ""
     id: str = ""
     field: str = ""
     subid: str = ""
+    compact: bool = False
+
+    def with_compact(self, v: bool) -> "ConfigID":
+        return ConfigID(slug=self.slug, id=self.id, field=self.field,
+                        subid=self.subid, compact=v)
 
     @classmethod
     def from_dict(cls, d):
@@ -376,7 +383,11 @@ class ConfigID:
 
     def __str__(self) -> str:
         """ConfigID.String (scrape.go:114-148): '__' before the first
-        present component, '_' between the rest."""
+        present component, '_' between the rest; compact mode joins the
+        non-slug parts with '-' lowercased (scrape.go:150-162)."""
+        if self.compact:
+            parts = [p for p in (self.id, self.field, self.subid) if p]
+            return "-".join(parts).lower()
         r = self.slug
         sep = "__"
         for part in (self.id, self.field, self.subid):

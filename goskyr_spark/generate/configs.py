@@ -184,7 +184,7 @@ def _add_strategy_prefix(cid: ConfigID, prefix: str) -> None:
 
 
 def _replace_strategy_prefix(cid: ConfigID, prefix: str) -> ConfigID:
-    out = ConfigID(slug=cid.slug, id=cid.id, field=cid.field, subid=cid.subid)
+    out = _copy_cid(cid)
     if out.field:
         base = out.subid.removeprefix("n").removeprefix("s")
         out.subid = prefix + base
@@ -195,7 +195,8 @@ def _replace_strategy_prefix(cid: ConfigID, prefix: str) -> ConfigID:
 
 
 def _copy_cid(cid: ConfigID) -> ConfigID:
-    return ConfigID(slug=cid.slug, id=cid.id, field=cid.field, subid=cid.subid)
+    return ConfigID(slug=cid.slug, id=cid.id, field=cid.field, subid=cid.subid,
+                    compact=getattr(cid, "compact", False))
 
 
 def get_detail_page_url_fields(scraper: Scraper) -> list[Field]:

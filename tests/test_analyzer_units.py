@@ -253,3 +253,22 @@ scrapers:
     cfg2.records = []
     extend_page_config_records_with_next(cfg2, PageDoc("https://x.com/list", page1), None)
     assert cfg2.scrapers[0].paginators == []
+
+
+def test_compact_config_id_preserved():
+    """config_id_test.go: compact mode survives strategy replacement and
+    renders without the slug."""
+    from goskyr_spark.config.model import ConfigID
+    from goskyr_spark.generate.configs import GenOptions, _replace_strategy_prefix
+
+    cid = ConfigID(slug="example-com", id="n10a").with_compact(True)
+    assert str(_replace_strategy_prefix(cid, "s")) == "s10a"
+
+    opts = GenOptions(url="https://example.com/events",
+                      config_id=ConfigID().with_compact(True)).init()
+    opts.config_id.id = "n5"
+    assert str(opts.config_id) == "n5"
+
+    default = GenOptions(url="https://example.com/events").init()
+    default.config_id.id = "n5"
+    assert str(default.config_id) == default.config_id.slug + "__n5"
