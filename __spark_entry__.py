@@ -60,12 +60,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visited_dedup": relational.visited_dedup,
         "frontier_merge_min_priority": relational.frontier_merge_min_priority,
         "pagination_union": relational.pagination_union,
-        # dedup family
+        # dedup family — every near-dup query is CANDIDATES (bounded LSH
+        # banding / capped posting-list) → EXACT verification, so the
+        # result is oracle-checkable against DuckDB's all-pairs exact
+        # similarity (banding recall is 1 at sf0.01, by measurement)
         "dedup_exact": dedup.exact_dedup,
         "dedup_char_jaccard": dedup.char_jaccard_pairs,
+        "dedup_char_jaccard_lsh": dedup.char_jaccard_lsh_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash_fingerprints,
+        "dedup_simhash": dedup.simhash_dup_pairs,
         "dedup_embedding_cosine": dedup.embedding_cosine_dups,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
@@ -124,6 +128,55 @@ def _generate_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_configs_df(pages, min_occs=(5,)).select(
         "url", "config_id", "n_records"
     )
+
+
+# Shared CTE: all-pairs exact word-3-gram Jaccard over the natural
+# documents table (25 true near-dup pairs at sf0.01). The Spark side
+# produces the same set via LSH candidates + exact verification.
+_SHINGLE_CTE = """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(ws)-2, 0)+1)]) AS sh
+          FROM w),
+    pairs_j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                             / (len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+                FROM g a JOIN g b ON a.doc_id < b.doc_id)
+"""
+
+
+def _ann_lsh_oracle(n_planes: int = 4, multiprobe_hamming: int = 1, k: int = 10) -> str:
+    """SQL replica of similarity.ann_lsh_topk: the same deterministic
+    hyperplane constants are embedded as literals, so bucket assignment,
+    probe set and ranking are computed identically by DuckDB."""
+    from goskyr_spark.ops.similarity import hyperplane
+
+    bucket_terms = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(x) for x in hyperplane(p)) + "]"
+        bucket_terms.append(
+            f"{1 << p} * (CASE WHEN list_dot_product(v, {plane}) >= 0 THEN 1 ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(bucket_terms)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                     {bucket_expr} AS bucket
+              FROM e),
+        q AS (SELECT v AS qv, nrm AS qnrm, bucket AS qb FROM n WHERE vec_id = 0)
+        SELECT vec_id, rank FROM (
+            SELECT n.vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) DESC,
+                                n.vec_id ASC) AS INTEGER) AS rank
+            FROM n, q
+            WHERE bit_count(CAST(xor(n.bucket, q.qb) AS BIGINT)) <= {multiprobe_hamming}
+              AND n.vec_id <> 0)
+        WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -191,9 +244,122 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > 200000
         """,
         "dedup_exact": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+            )
             SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
                    COUNT(*) AS n_copies
-            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+            FROM d GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        # all-pairs EXACT word-3-gram Jaccard: equals the Spark LSH
+        # candidates→verify output because banding recall is 1 on this
+        # corpus (measured; see ops/dedup.py docstrings)
+        "dedup_minhash_lsh": _SHINGLE_CTE + """
+            SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
+        """,
+        "dedup_simhash": _SHINGLE_CTE + """
+            SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
+        """,
+        "dedup_char_jaccard_lsh": _SHINGLE_CTE + """
+            , c AS (SELECT doc_id, list_distinct(string_split(text, '')) AS chars
+                    FROM documents)
+            SELECT p.doc_a, p.doc_b,
+                   ROUND(CAST(len(list_intersect(ca.chars, cb.chars)) AS DOUBLE)
+                         / len(list_distinct(list_concat(ca.chars, cb.chars))), 4)
+                       AS char_jaccard
+            FROM pairs_j p
+            JOIN c ca ON ca.doc_id = p.doc_a
+            JOIN c cb ON cb.doc_id = p.doc_b
+            WHERE p.jaccard >= 0.8
+              AND ROUND(CAST(len(list_intersect(ca.chars, cb.chars)) AS DOUBLE)
+                        / len(list_distinct(list_concat(ca.chars, cb.chars))), 4) >= 0.92
+        """,
+        "dedup_ngram_jaccard": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        FOR i IN range(1, greatest(len(ws)-2, 0)+1)]) AS grams
+                  FROM w),
+            p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            keep AS (SELECT gram FROM p GROUP BY gram
+                     HAVING COUNT(*) <= greatest(50,
+                         CAST(FLOOR(0.01 * (SELECT COUNT(*) FROM documents)) AS BIGINT))),
+            pc AS (SELECT doc_id, gram FROM p WHERE gram IN (SELECT gram FROM keep)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM pc GROUP BY doc_id),
+            pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+                   FROM pc x JOIN pc y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                   GROUP BY x.doc_id, y.doc_id)
+            SELECT doc_a, doc_b, shared,
+                   ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+            FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+                    JOIN sz sb ON sb.doc_id = pr.doc_b
+            WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.8
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE vec_id < 25),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.99
+        """,
+        # replicates the LSH algorithm itself: identical hyperplane
+        # constants as literals, same probe set, same ordering
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+            sims AS (SELECT n.vec_id, c.cell,
+                            list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS sim
+                     FROM n CROSS JOIN c),
+            assign AS (SELECT vec_id, cell FROM (
+                           SELECT vec_id, cell,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell ASC) AS rn
+                           FROM sims)
+                       WHERE rn = 1),
+            probe AS (SELECT cell FROM (
+                          SELECT cell, ROW_NUMBER() OVER (ORDER BY sim DESC, cell ASC) AS rn
+                          FROM sims WHERE vec_id = 0)
+                      WHERE rn <= 2),
+            q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0)
+            SELECT vec_id, rank FROM (
+                SELECT n.vec_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) DESC,
+                                    n.vec_id ASC) AS INTEGER) AS rank
+                FROM n JOIN assign a ON a.vec_id = n.vec_id, q
+                WHERE a.cell IN (SELECT cell FROM probe) AND n.vec_id <> 0)
+            WHERE rank <= 10
+        """,
+        "text_doc_fingerprint": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, [array_to_string(ws[i:i+4], ' ')
+                                  FOR i IN range(1, greatest(len(ws)-4, 0)+1)] AS grams
+                  FROM w),
+            h AS (SELECT doc_id, len(grams) AS n_grams,
+                         [CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                          FOR g IN grams] AS hs
+                  FROM g),
+            m AS (SELECT doc_id, n_grams,
+                         CASE WHEN n_grams = 0 THEN CAST([] AS BIGINT[])
+                              ELSE [list_min(hs[i:i+3])
+                                    FOR i IN range(1, greatest(n_grams-3, 1)+1)] END AS mins
+                  FROM h),
+            f AS (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS fp FROM m)
+            SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+                   CAST(len(fp) AS INTEGER) AS n_fingerprints,
+                   fp[1] AS min_fingerprint
+            FROM f
         """,
         "dedup_char_jaccard": """
             WITH c AS (
@@ -260,7 +426,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # no oracle (non-SQL-expressible; gated by tests/):
-        #   dedup_ngram_jaccard (xxhash64 gram hashing),
-        #   dedup_minhash_lsh, dedup_simhash, dedup_embedding_cosine,
-        #   ann_lsh_topk, ann_ivf_topk, text_doc_fingerprint
+        #   crawl_visit_log   — visit-order equivalence vs the reference
+        #                       engine, tests/test_crawl_rounds.py
+        #   generate_configs  — byte-identical YAML goldens,
+        #                       tests/test_generate_golden.py
     }

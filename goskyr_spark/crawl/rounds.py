@@ -116,9 +116,15 @@ def dedup_frontier(df: DataFrame) -> DataFrame:
 def admission_filter(frontier: DataFrame) -> DataFrame:
     """Scheme whitelist + media-extension blacklist
     (``/root/reference/scrape/scrape.go:2308-2323``) — pure Catalyst
-    expressions so the filter pushes into the scan."""
-    path = F.lower(F.parse_url(F.col("url"), F.lit("PATH")))
-    ext_ok = ~path.rlike("\\.(" + "|".join(e[1:] for e in _SKIP_EXT) + ")$")
+    expressions so the filter pushes into the scan.
+
+    try_parse_url (NOT parse_url): under Spark 4 ANSI mode parse_url
+    throws INVALID_URL on any malformed frontier URL — one bad href on
+    any crawled page would kill the whole round job. A null path (we
+    could not parse the URL) counts as extension-pass; such URLs then
+    simply miss in the fetch join."""
+    path = F.lower(F.try_parse_url(F.col("url"), F.lit("PATH")))
+    ext_ok = path.isNull() | ~path.rlike("\\.(" + "|".join(e[1:] for e in _SKIP_EXT) + ")$")
     scheme_ok = F.col("url").startswith("http://") | F.col("url").startswith("https://")
     return frontier.filter(scheme_ok & ext_ok)
 

@@ -5,7 +5,7 @@
   (``zip_with`` + ``aggregate``), one narrow scan + a global top-k
   (``orderBy + limit`` — Spark executes this as per-partition top-k then
   a driver merge of k·partitions rows, no full sort shuffle).
-* ``hyperplane_bucket`` / ``ann_lsh_topk`` — the scale path: random-
+* ``hyperplane_bits`` / ``ann_lsh_topk`` — the scale path: random-
   hyperplane (sign) LSH restricts the scan to the query's bucket (and
   its Hamming-1 neighbors for recall). At 100 TB the bucket column is a
   partition key of the embeddings table, so Catalyst partition-prunes
@@ -13,12 +13,21 @@
 * ``ivf_topk``         — IVF variant: k-means-style coarse centroids
   (deterministically seeded sample), probe the ``n_probe`` nearest
   cells. Same partition-pruning story with the cell id as key.
+
+All dot products run in DOUBLE (embeddings are cast up front): float32
+element products would round differently from the DuckDB oracle and
+could even flip a sign-LSH bit near zero. The hyperplanes are derived
+deterministically from (seed, plane, dim) so every executor, every run,
+and the DuckDB oracle (which embeds the same constants as literals)
+agree without shipping state.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+PLANE_SEED = 97
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -29,26 +38,60 @@ def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
     return emb.withColumn("norm", F.sqrt(dot(F.col(col), F.col(col))))
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 4, seed: int = 97) -> Column:
-    """Sign-LSH bucket id in [0, 2^n_planes): bit i = sign of the dot
-    product with pseudo-random hyperplane i. Hyperplanes are derived
-    deterministically from (seed, plane, dim) so every executor and
-    every run agrees without shipping state."""
-    import math
+def hyperplane(plane: int, dim: int = 64, seed: int = PLANE_SEED) -> list[float]:
+    """Deterministic pseudo-random Gaussian hyperplane #plane of length
+    ``dim`` — the exact same constants are embedded as literals in the
+    DuckDB oracle SQL, so bucket assignment is bit-identical."""
     import random
 
-    bucket = F.lit(0)
+    rnd = random.Random(seed * 1009 + plane)
+    return [rnd.gauss(0, 1) for _ in range(dim)]
+
+
+def hyperplane_bits(vec: Column, n_planes: int, dim: int = 64, seed: int = PLANE_SEED) -> list[Column]:
+    """One sign bit (0/1 int) per hyperplane. ``vec`` is sliced to
+    ``dim`` first: zip_with null-pads to the LONGER array, so a vector
+    wider than the plane would otherwise produce a null dot product
+    (and silently collapse every vector into bucket 0)."""
+    v = F.slice(vec, 1, dim)
+    bits = []
     for p in range(n_planes):
-        rnd = random.Random(seed * 1009 + p)
-        # fixed 64-dim hyperplane; extra dims ignored by zip_with
-        plane = F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(64)])
-        s = dot(vec, plane)
-        bucket = bucket + F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        plane = F.array(*[F.lit(x) for x in hyperplane(p, dim, seed)])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 4, seed: int = PLANE_SEED, dim: int = 64) -> Column:
+    """Sign-LSH bucket id in [0, 2^n_planes): bit i = sign of the dot
+    product with pseudo-random hyperplane i."""
+    bits = hyperplane_bits(vec, n_planes, dim, seed)
+    bucket = F.lit(0)
+    for p, bit in enumerate(bits):
+        bucket = bucket + bit * F.lit(1 << p)
     return bucket.cast("int")
 
 
+def hyperplane_band_values(
+    vec: Column, n_planes: int = 24, bands: int = 6, seed: int = PLANE_SEED, dim: int = 64
+) -> list[Column]:
+    """``bands`` band values, each packing n_planes/bands sign bits into
+    one int — the banded form used by embedding near-dup candidate
+    generation (any shared band ⇒ candidate)."""
+    width = n_planes // bands
+    bits = hyperplane_bits(vec, n_planes, dim, seed)
+    out = []
+    for b in range(bands):
+        val = F.lit(0)
+        for i in range(width):
+            val = val + bits[b * width + i] * F.lit(1 << i)
+        out.append(val.cast("int"))
+    return out
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
 
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -61,7 +104,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0
     Output is rank + id only (floats stay internal → the DuckDB oracle
     hash-compares exactly). Ties broken by vec_id: total order."""
     q = query_vector(spark, sf_dir, query_id)
-    emb = with_norm(_emb(spark, sf_dir).select("vec_id", "embedding"))
+    emb = with_norm(_emb(spark, sf_dir))
     qcol = F.array(*[F.lit(float(x)) for x in q])
     qnorm = sum(x * x for x in q) ** 0.5
     cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
@@ -85,9 +128,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 
     near the query flips any single hyperplane with probability ∝ its
     angle to that plane). With the bucket as the table's partition key,
     Catalyst partition-prunes the scan to the probed buckets only.
-    Approximate — recall measured against ``cosine_topk`` in tests."""
+
+    Output is (vec_id, rank) over the PROBED subset — approximate by
+    construction. The DuckDB oracle replicates the identical algorithm
+    (same hyperplane constants as SQL literals, same probe set, same
+    ordering), so the driver's gate checks the algorithm end-to-end,
+    not just recall; recall vs brute force is unit-tested separately."""
     q = query_vector(spark, sf_dir, query_id)
-    emb = with_norm(_emb(spark, sf_dir).select("vec_id", "embedding")).withColumn(
+    emb = with_norm(_emb(spark, sf_dir)).withColumn(
         "bucket", hyperplane_bucket(F.col("embedding"), n_planes)
     )
     qcol = F.array(*[F.lit(float(x)) for x in q])
@@ -100,25 +148,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 
     probes = [b for b in range(1 << n_planes)
               if bin(b ^ qbucket).count("1") <= multiprobe_hamming]
     cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
-    return (
+    ranked = (
         emb.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
-        .withColumn("cosine", F.round(cos, 4))
+        .withColumn("cosine", cos)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "cosine")
     )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return ranked.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0,
              n_cells: int = 8, n_probe: int = 2) -> DataFrame:
     """IVF ANN: coarse centroids = a deterministic sample of the corpus
     (ids 0..n_cells-1 — stand-in for trained k-means centers); each
-    vector is assigned to its nearest centroid (argmin over a broadcast
-    centroid array); the query probes its ``n_probe`` nearest cells."""
-    emb = with_norm(_emb(spark, sf_dir).select("vec_id", "embedding"))
+    vector is assigned to its nearest centroid (argmax over a broadcast
+    centroid array, first-wins on exact ties); the query probes its
+    ``n_probe`` nearest cells. Output (vec_id, rank) over the probed
+    cells; the DuckDB oracle replicates the assignment + probe logic."""
+    emb = with_norm(_emb(spark, sf_dir))
     cents = (
         emb.filter(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding", "norm")
+        .orderBy("vec_id")  # deterministic iteration order for first-wins ties
         .collect()
     )
     q = query_vector(spark, sf_dir, query_id)
@@ -134,21 +186,23 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0,
         return best["cell"]
 
     assigned = emb.withColumn("cell", cell_expr())
-    import math
 
     def cos_py(a, b):
+        import math
+
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
         return sum(x * y for x, y in zip(a, b)) / (na * nb)
 
-    probe = sorted(cents, key=lambda c: -cos_py(q, list(c["embedding"])))[:n_probe]
+    probe = sorted(cents, key=lambda c: (-cos_py(q, list(c["embedding"])), c["vec_id"]))[:n_probe]
     probe_ids = [int(c["vec_id"]) for c in probe]
     qcol = F.array(*[F.lit(float(x)) for x in q])
     cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
-    return (
+    ranked = (
         assigned.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != query_id))
-        .withColumn("cosine", F.round(cos, 4))
+        .withColumn("cosine", cos)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "cosine")
     )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return ranked.select("vec_id", F.row_number().over(w).alias("rank"))

@@ -82,14 +82,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram
     rolling hashes → min hash within each sliding window → distinct
     selected hashes per doc. Used for plagiarism-style containment
-    detection. Built-ins only: transform over index arrays."""
+    detection. Built-ins only: transform over index arrays.
+
+    Gram hash = first 60 bits of md5 (conv(substr(md5,1,15),16,10)) —
+    md5 is available identically in DuckDB ('0x'||substr cast), so the
+    fingerprints are oracle-checkable end-to-end; xxhash64 would be
+    marginally cheaper but has no DuckDB counterpart."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.trim("text"), "\\s+")
     grams = F.filter(
         F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
         lambda g: F.size(F.split(g, " ")) >= k,
     )
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 31)))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
     # windows of `window` consecutive hashes → min each → distinct.
     # sequence() is guarded: stop < start would yield a DESCENDING range.
     idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - window + 1, F.lit(1)))

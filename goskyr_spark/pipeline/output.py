@@ -21,11 +21,17 @@ from datetime import datetime
 
 def _go_value(v):
     if isinstance(v, datetime):
-        # Go time.Time json-marshals as RFC3339
+        # Go time.Time json-marshals as RFC3339Nano: fraction is the
+        # 9-digit zero-padded nanosecond value with trailing zeros
+        # stripped ('.001' for 1ms, not '.1'), and the UTC offset
+        # carries a colon ('+01:00', Z for UTC) — unlike strftime('%z').
         s = v.strftime("%Y-%m-%dT%H:%M:%S")
         if v.microsecond:
-            s += "." + str(v.microsecond * 1000).rstrip("0")
-        return s + "Z" if v.tzinfo is None else s + v.strftime("%z")
+            s += "." + f"{v.microsecond * 1000:09d}".rstrip("0")
+        if v.tzinfo is None:
+            return s + "Z"
+        off = v.strftime("%z")  # e.g. +0100
+        return s + ("Z" if off in ("+0000", "-0000") else off[:3] + ":" + off[3:])
     return v
 
 
@@ -52,28 +58,91 @@ def write_file(records: list[dict], path: str) -> None:
         fh.write(_encode([{k: _go_value(v) for k, v in r.items()} for r in records]))
 
 
-class APIWriterStub:
-    """API writer shape (output/api.go): delete-then-batched-POST.
-    ``post``/``delete`` are injectable; the real HTTP transport is not
-    available in this sandbox."""
+class APIWriter:
+    """API writer with the reference's exact protocol
+    (``/root/reference/output/api.go:28-115``):
+
+    * streaming over records, a source's FIRST record triggers one
+      DELETE ``{uri}?sourceUrl=<esc>&datetime=<first date UTC
+      '%Y-%m-%d %H:%M'>`` (records within a source are assumed
+      date-ascending, api.go:40-41); a record whose ``date`` is not a
+      datetime is skipped with an error, api.go:48-51.
+    * records accumulate into batches of exactly 100 ACROSS sources
+      (the batch is not flushed on source change, api.go:73-80); a
+      final partial batch is flushed at end (api.go:83-87).
+    * every request carries basic auth; POSTs send the JSON array with
+      Content-Type application/json (api.go:92-104).
+
+    ``transport`` is injectable: any object with
+    ``request(method, url, body: bytes | None, headers: dict,
+    auth: (user, pw)) -> int`` (status code). The sandbox has no
+    network, so the default transport raises; tests inject a mock.
+    On a cluster this class runs inside ``foreachPartition`` — one
+    writer per partition, no driver collect."""
 
     BATCH_SIZE = 100
 
-    def __init__(self, uri: str, user: str = "", password: str = "", post=None, delete=None):
+    def __init__(self, uri: str, user: str = "", password: str = "", transport=None):
         self.uri = uri
         self.auth = (user, password)
-        self._post = post or self._unavailable
-        self._delete = delete or self._unavailable
+        self.transport = transport or _NoNetworkTransport()
         self.batches_sent = 0
+        self.n_written = 0
+        self.errors: list[str] = []
 
-    def _unavailable(self, *a, **k):  # pragma: no cover
+    def write(self, records: list[dict]) -> None:
+        from urllib.parse import quote
+
+        deleted_sources: set[str] = set()
+        batch: list[dict] = []
+        for rec in records:
+            src = rec.get("sourceUrl")
+            if src not in deleted_sources:
+                deleted_sources.add(src)
+                first_date = rec.get("date")
+                if not isinstance(first_date, datetime):
+                    self.errors.append(f"date field of record not a datetime: {rec!r}")
+                    continue
+                if first_date.tzinfo is not None:
+                    from datetime import timezone
+
+                    first_date = first_date.astimezone(timezone.utc)
+                dt = first_date.strftime("%Y-%m-%d %H:%M")
+                delete_url = (
+                    f"{self.uri}?sourceUrl={quote(str(src), safe='')}"
+                    f"&datetime={quote(dt, safe='')}"
+                )
+                status = self.transport.request("DELETE", delete_url, None, {}, self.auth)
+                if status != 200:
+                    raise RuntimeError(f"delete failed with status {status}: {delete_url}")
+            batch.append(rec)
+            if len(batch) == self.BATCH_SIZE:
+                self._post_batch(batch)
+                batch = []
+        if batch:
+            self._post_batch(batch)
+
+    def _post_batch(self, batch: list[dict]) -> None:
+        body = json.dumps(
+            [{k: _go_value(v) for k, v in r.items()} for r in batch], ensure_ascii=False
+        ).encode("utf-8")
+        status = self.transport.request(
+            "POST", self.uri, body, {"Content-Type": "application/json"}, self.auth
+        )
+        if status != 201:
+            self.errors.append(f"post failed with status {status}")
+            return
+        self.batches_sent += 1
+        self.n_written += len(batch)
+
+
+class _NoNetworkTransport:
+    def request(self, *a, **k):  # pragma: no cover
         raise NotImplementedError("network transport not available in sandbox")
 
-    def write(self, records: list[dict], source: str) -> None:
-        self._delete(self.uri, params={"source": source}, auth=self.auth)
-        for i in range(0, len(records), self.BATCH_SIZE):
-            self._post(self.uri, json=records[i : i + self.BATCH_SIZE], auth=self.auth)
-            self.batches_sent += 1
+
+# backwards-compatible alias (pre-round-2 name)
+APIWriterStub = APIWriter
 
 
 def write_records_df(records_df, path: str, fmt: str = "parquet") -> None:

@@ -1,7 +1,11 @@
 """Structured Streaming ingestion: pages arrive continuously (the
 production shape of a fetch tier: WARC drops landing in object storage),
-extraction runs incrementally, exactly-once via checkpointed
-``foreachBatch``.
+extraction runs incrementally. ``foreachBatch`` is at-least-once (a
+batch that fails after its write is replayed on restart), so the batch
+write is made IDEMPOTENT: records are partitioned by ``epoch_id`` and
+written with dynamic partition overwrite — a replayed epoch overwrites
+its own partition instead of appending duplicates, giving effectively-
+exactly-once output.
 
 The reference has no streaming at all (batch rounds only,
 ``SURVEY.md §2.6``); this is the north_rule's "each crawl round is a
@@ -28,14 +32,28 @@ def stream_extract(
     checkpoint_dir: str,
 ) -> None:
     """Incremental extraction: new page files → records parquet, one
-    pass over whatever has arrived (``availableNow``), exactly-once via
-    the stream checkpoint. Run repeatedly (or with a continuous trigger
-    on a cluster) as pages land."""
+    pass over whatever has arrived (``availableNow``). Source progress is
+    exactly-once via the stream checkpoint; the sink is made idempotent
+    by partitioning on epoch_id with dynamic partition overwrite (see
+    module docstring), so a replayed batch cannot duplicate records.
+    Run repeatedly (or with a continuous trigger on a cluster) as pages
+    land."""
     stream = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
 
     def do_batch(batch_df, epoch_id: int):
-        recs = explode_records(parse_pages(batch_df, config_yaml), round_id=int(epoch_id))
-        recs.write.mode("append").parquet(out_dir)
+        spark_b = batch_df.sparkSession
+        prev = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            recs = explode_records(parse_pages(batch_df, config_yaml), round_id=int(epoch_id))
+            (
+                recs.withColumn("epoch_id", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     (
         stream.writeStream.foreachBatch(do_batch)
@@ -54,7 +72,7 @@ def host_rate_stream(spark: SparkSession, pages_dir: str, checkpoint_dir: str,
     named 'host_rates'."""
     stream = spark.readStream.schema(schemas.PAGES).parquet(pages_dir)
     agg = (
-        stream.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        stream.withColumn("host", F.try_parse_url("url", F.lit("HOST")))
         .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window), "host")
         .agg(F.count(F.lit(1)).alias("pages"))

@@ -46,7 +46,10 @@ def host_rate_guard(pages_stream: DataFrame, budget: int = 1000) -> DataFrame:
             }
         )
 
-    with_host = pages_stream.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    # try_parse_url: ANSI-mode parse_url throws on malformed URLs; a
+    # malformed page URL must not kill the stream (null host groups
+    # together under the guard, which is the honest behavior).
+    with_host = pages_stream.withColumn("host", F.try_parse_url("url", F.lit("HOST")))
     return with_host.groupBy("host").applyInPandasWithState(
         update,
         outputStructType=RATE_SCHEMA,

@@ -34,22 +34,46 @@ def mini_docs(spark, tmp_path_factory):
 
 
 def test_exact_dedup_finds_planted_dup(spark, mini_docs):
-    from goskyr_spark.ops.dedup import exact_dedup
+    from goskyr_spark.ops.dedup import exact_dedup_groups
 
-    got = exact_dedup(spark, mini_docs).collect()
+    docs = spark.read.parquet(mini_docs + "/documents.parquet")
+    got = exact_dedup_groups(docs).collect()
     assert len(got) == 1
     assert got[0]["canonical_doc_id"] == 100
     assert got[0]["n_copies"] == 2
 
 
+def test_exact_dedup_demo_is_nonvacuous(spark):
+    """The driver-facing demo runs on the planted corpus: exactly
+    PLANT_N duplicate groups, each a (doc, copy) pair."""
+    from goskyr_spark.ops.dedup import PLANT_N, exact_dedup
+
+    got = exact_dedup(spark, SF).collect()
+    assert len(got) == PLANT_N
+    assert all(r["n_copies"] == 2 for r in got)
+
+
 def test_minhash_lsh_finds_near_dup(spark, mini_docs):
+    """Candidates→verify form: output jaccard is the EXACT shingle
+    Jaccard of the candidate residue."""
     from goskyr_spark.ops.dedup import minhash_lsh_pairs
 
-    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
              minhash_lsh_pairs(spark, mini_docs, threshold=0.5).collect()}
     assert (100, 101) in pairs and pairs[(100, 101)] == 1.0  # exact dup
-    assert (100, 102) in pairs  # near dup survives banding + threshold
+    assert pairs[(100, 102)] == round(10 / 12, 4)  # near dup, exact J
     assert all(not (a == 103 or b == 103) for a, b in pairs)  # far doc clean
+
+
+def test_minhash_estimator_tracks_exact_jaccard(spark, mini_docs):
+    """The screening form (est_jaccard = matching signature fraction)
+    stays within estimator tolerance of the exact Jaccard."""
+    from goskyr_spark.ops.dedup import minhash_est_pairs
+
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+           minhash_est_pairs(spark, mini_docs, threshold=0.5).collect()}
+    assert est[(100, 101)] == 1.0
+    assert abs(est[(100, 102)] - 10 / 12) <= 0.2  # 64 perms → se ≈ 0.047
 
 
 def test_ngram_jaccard_exact_values(spark, mini_docs):
@@ -71,6 +95,53 @@ def test_simhash_dup_invariance(spark, mini_docs):
     ham_near = bin(fp[100] ^ fp[102]).count("1")
     ham_far = bin(fp[100] ^ fp[103]).count("1")
     assert ham_near < ham_far  # near dup closer in Hamming space
+
+
+def test_simhash_dup_pairs_banded(spark, mini_docs):
+    """Banded simhash candidates + exact verification find the planted
+    exact and near dup; the far doc never appears."""
+    from goskyr_spark.ops.dedup import simhash_dup_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             simhash_dup_pairs(spark, mini_docs, threshold=0.5).collect()}
+    assert pairs[(100, 101)] == 1.0
+    assert pairs[(100, 102)] == round(10 / 12, 4)
+    assert all(not (a == 103 or b == 103) for a, b in pairs)
+
+
+def test_char_jaccard_lsh_matches_blocked_form(spark, mini_docs):
+    """The scale path (LSH candidates → char-J verify) finds the planted
+    dups that the source-blocked demo form finds."""
+    from goskyr_spark.ops.dedup import char_jaccard_lsh_pairs
+
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           char_jaccard_lsh_pairs(spark, mini_docs, char_threshold=0.9,
+                                  jaccard_threshold=0.5).collect()}
+    assert (100, 101) in got and (100, 102) in got
+
+
+def test_embedding_cosine_dups_planted(spark):
+    """Planted exact-copy embeddings come back with cosine 1.0; the
+    natural corpus contributes nothing at the 0.99 threshold."""
+    from goskyr_spark.ops.dedup import PLANT_N, PLANT_OFFSET, embedding_cosine_dups
+
+    rows = embedding_cosine_dups(spark, SF).collect()
+    assert len(rows) == PLANT_N
+    assert all(r["vec_b"] == r["vec_a"] + PLANT_OFFSET for r in rows)
+    assert all(r["cosine"] == 1.0 for r in rows)
+
+
+def test_hyperplane_bits_dim_safety(spark):
+    """Regression (round-1 advice): a vector wider than the plane must
+    NOT null out the dot product (zip_with pads to the LONGER array) —
+    bits must still split vectors across buckets."""
+    from goskyr_spark.ops.similarity import hyperplane_bucket
+
+    rows = [(i, [float((i * 7 + j) % 13 - 6) for j in range(100)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    buckets = {r["b"] for r in
+               df.select(hyperplane_bucket(F.col("embedding"), n_planes=4).alias("b")).collect()}
+    assert len(buckets) > 1  # not all collapsed into one bucket
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):

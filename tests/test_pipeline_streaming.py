@@ -34,18 +34,49 @@ def test_writers_go_json_shape(tmp_path):
     assert json.load(open(p)) == [rec]
 
 
-def test_api_writer_batching():
-    from goskyr_spark.pipeline.output import APIWriterStub
+def test_api_writer_reference_protocol():
+    """output/api.go:28-115 semantics via an injected mock transport:
+    one DELETE per source keyed on the source's FIRST record date
+    (UTC '%Y-%m-%d %H:%M'), batches of exactly 100 ACROSS sources,
+    basic auth on every request, POST expects 201."""
+    from datetime import datetime, timezone
+
+    from goskyr_spark.pipeline.output import APIWriter
 
     calls = []
-    w = APIWriterStub(
-        "http://api/x", "u", "p",
-        post=lambda uri, json, auth: calls.append(("post", len(json))),
-        delete=lambda uri, params, auth: calls.append(("delete", params["source"])),
-    )
-    w.write([{"i": i} for i in range(250)], source="s1")
-    assert calls[0] == ("delete", "s1")
-    assert [c[1] for c in calls[1:]] == [100, 100, 50]
+
+    class MockTransport:
+        def request(self, method, url, body, headers, auth):
+            calls.append((method, url, body, headers, auth))
+            return 200 if method == "DELETE" else 201
+
+    w = APIWriter("http://api/x", "u", "p", transport=MockTransport())
+    recs = [
+        {"sourceUrl": "http://s1", "date": datetime(2024, 3, 1, 12, 30 + i % 10), "i": i}
+        for i in range(130)
+    ] + [
+        {"sourceUrl": "http://s2", "date": datetime(2024, 4, 2, 8, 5, tzinfo=timezone.utc), "i": i}
+        for i in range(120)
+    ]
+    w.write(recs)
+
+    deletes = [c for c in calls if c[0] == "DELETE"]
+    posts = [c for c in calls if c[0] == "POST"]
+    assert len(deletes) == 2  # one per source, on first record
+    assert "sourceUrl=http%3A%2F%2Fs1" in deletes[0][1]
+    assert "datetime=2024-03-01%2012%3A30" in deletes[0][1]  # first record's date
+    assert "datetime=2024-04-02%2008%3A05" in deletes[1][1]
+    # batch boundaries cross the source change: 100, 100, 50
+    batch_sizes = [len(json.loads(p[2].decode())) for p in posts]
+    assert batch_sizes == [100, 100, 50]
+    assert all(c[4] == ("u", "p") for c in calls)  # basic auth everywhere
+    assert posts[0][3]["Content-Type"] == "application/json"
+    assert w.n_written == 250 and w.batches_sent == 3 and not w.errors
+
+    # record with non-datetime date: source delete skipped with an error
+    w2 = APIWriter("http://api/x", transport=MockTransport())
+    w2.write([{"sourceUrl": "http://s3", "date": "not-a-date"}])
+    assert len(w2.errors) == 1
 
 
 def test_cli_scrape_matches_golden(tmp_path):

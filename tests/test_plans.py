@@ -77,6 +77,25 @@ def test_whole_stage_codegen_covers_textstats(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_near_dup_plans_have_no_unblocked_self_join(spark):
+    """Scale gate (round-1 verdict): the near-dup candidate joins must
+    be keyed on banding columns — never a cartesian/nested-loop pair
+    blowup, and never a self-join blocked on a low-cardinality column
+    alone."""
+    from goskyr_spark.ops.dedup import char_jaccard_lsh_pairs, embedding_cosine_dups, simhash_dup_pairs
+
+    for df in (
+        char_jaccard_lsh_pairs(spark, SF),
+        embedding_cosine_dups(spark, SF),
+        simhash_dup_pairs(spark, SF),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # candidate generation joins on the band key
+        assert "band_idx" in plan, plan
+
+
 def test_bucketed_pages_join_avoids_exchange(spark, tmp_path):
     """The production fetch join co-locates by bucketing the pages table
     on url: the bucketed side must join with NO Exchange (the frontier
