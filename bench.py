@@ -37,10 +37,16 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_char_jaccard_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_token_counts",
     "text_quality_signals",
     "text_lang_id",
+    "text_doc_fingerprint",
 ]
 
 

@@ -316,6 +316,30 @@ class ValidationConfig:
 
 
 @dataclass
+class Interaction:
+    """Browser interaction surface (``/root/reference/fetch/fetcher.go:29-39``):
+    parsed so a YAML using it fails LOUDLY instead of being silently
+    ignored — this engine does not render JS (the reference's own tests
+    never exercise it, ``cmd/goskyr/main_test.go:120-124``)."""
+
+    type: str = ""  # 'click' | 'scroll'
+    selector: str = ""
+    count: int = 0
+    delay: int = 0
+
+    @classmethod
+    def from_dict(cls, d):
+        if not d:
+            return cls()
+        return cls(
+            type=d.get("type", "") or "",
+            selector=d.get("selector", "") or "",
+            count=int(d.get("count", 0) or 0),
+            delay=int(d.get("delay", 0) or 0),
+        )
+
+
+@dataclass
 class Scraper:
     name: str = ""
     url: str = ""
@@ -328,10 +352,11 @@ class Scraper:
     derived_fields: list[DerivedField] = dc_field(default_factory=list)
     validation: ValidationConfig = dc_field(default_factory=ValidationConfig)
     merge_key: str = ""
+    interaction: list[Interaction] = dc_field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d):
-        return cls(
+        s = cls(
             name=d.get("name", "") or "",
             url=d.get("url", "") or "",
             selector=d.get("selector", "") or "",
@@ -343,7 +368,19 @@ class Scraper:
             derived_fields=[DerivedField.from_dict(x) for x in d.get("derived_fields", []) or []],
             validation=ValidationConfig.from_dict(d.get("validation")),
             merge_key=d.get("merge_key", "") or "",
+            interaction=[Interaction.from_dict(x) for x in d.get("interaction", []) or []],
         )
+        if s.interaction:
+            import warnings
+
+            warnings.warn(
+                f"scraper {s.name or s.url!r} declares {len(s.interaction)} browser "
+                "interaction(s) (click/scroll); this engine fetches statically and "
+                "will NOT perform them — pages needing interaction will extract "
+                "from the un-interacted DOM",
+                stacklevel=2,
+            )
+        return s
 
     def initialize_filters(self, now=None):
         field_types = {f.name: f.type for f in self.fields}

@@ -148,11 +148,17 @@ def split_by_bloom(candidates: DataFrame, blooms: DataFrame, spec: BloomSpec) ->
 
 def filter_unseen(candidates: DataFrame, blooms: DataFrame, seen: DataFrame, spec: BloomSpec) -> DataFrame:
     """candidates ∖ seen: bloom pre-filter, then exact LEFT ANTI join on
-    url_hash for the bloom-positive residue only. ``seen`` is the exact
-    hash table (Iceberg/parquet); at scale the anti-join's probe side is
-    just the false-positive + true-positive slice, not the whole frontier."""
+    (url_hash, url) for the bloom-positive residue only. ``seen`` is the
+    exact table (Iceberg/parquet); at scale the anti-join's probe side is
+    just the false-positive + true-positive slice, not the whole
+    frontier. The exact join carries the url alongside the hash so a
+    64-bit collision can never suppress an uncrawled URL (the bloom side
+    stays hash-only: a colliding URL is merely a guaranteed bloom
+    positive, then rescued by this exact check)."""
     tagged = split_by_bloom(candidates, blooms, spec)
     definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    verified_new = maybes.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    verified_new = maybes.join(
+        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    )
     return definitely_new.unionByName(verified_new)

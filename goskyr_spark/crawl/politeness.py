@@ -61,5 +61,9 @@ def select_under_budget(
 
 def carryover(frontier: DataFrame, selected: DataFrame) -> DataFrame:
     """Frontier rows NOT selected this round (budget overflow) — kept for
-    the next round. Anti-join on url_hash (both sides already canonical)."""
-    return frontier.join(selected.select("url_hash"), on="url_hash", how="left_anti")
+    the next round. Anti-join on (url_hash, url): the url tiebreaker
+    makes 64-bit hash collisions harmless (hash-only would drop the
+    colliding un-selected URL from the frontier forever)."""
+    return frontier.join(
+        selected.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    )

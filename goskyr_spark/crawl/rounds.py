@@ -16,12 +16,18 @@ Iceberg tables and each round is one Iceberg snapshot — the layout keeps
 that discipline: append-only deltas + a manifest as the atomic commit):
 
     {warehouse}/frontier/round=N/   pending URLs entering round N
-    {warehouse}/selected/round=N/   visit log (host, visit_rank) — ordering
+    {warehouse}/selected/round=N/   visit log (host, visit_rank) — ordering;
+                                    doubles as the exact seen-set delta
     {warehouse}/records/round=N/    extracted records (goskyr Records)
-    {warehouse}/seen/round=N/       seen-hash delta
     {warehouse}/blooms/round=N/     bloom bitsets after round N
-    {warehouse}/counters/round=N/   per-partition per-stage lineage counts
-    {warehouse}/manifest/round=N.json  commit marker (written LAST)
+    {warehouse}/metrics/metrics.jsonl  per-round per-stage metrics (driver-side)
+    {warehouse}/manifest/round=N.json  commit marker (written LAST); embeds
+                                    per-partition lineage from parquet footers
+
+Per-round cost discipline: four Spark jobs total (selected, records,
+blooms, next-frontier writes); all counts ride on those writes via
+``Observation``; per-partition lineage is parquet-footer metadata
+(``observability.parquet_lineage``) — see ``run_round`` docstring.
 
 A killed job resumes from the last round whose manifest exists —
 ``CrawlRun.resume_round()`` — without re-fetching anything
@@ -45,11 +51,12 @@ import os
 import time
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..extract.urlutil import canonical_url, registrable_domain, host_of
+from ..observability import LINEAGE_SCHEMA, MetricsLog, parquet_lineage
 from ..spark import schemas
 from ..spark.extract_udf import explode_records, parse_pages
 from .bloom import BloomSpec, empty_blooms, filter_unseen, merge_blooms
@@ -107,8 +114,15 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
 
 
 def dedup_frontier(df: DataFrame) -> DataFrame:
-    """Per-URL dedup keeping the best (lowest) (priority, url)."""
-    return df.groupBy("url_hash").agg(
+    """Per-URL dedup keeping the best (lowest) (priority, url).
+
+    Grouped on (url_hash, url), NOT url_hash alone: at 10¹⁰ URLs the
+    expected number of 64-bit collisions is ~n²/2⁶⁵ ≈ 2-3, and a
+    hash-only group would silently merge two distinct URLs (one never
+    crawled). The hash stays first in the key so the shuffle
+    partitioning is still driven by the cheap 8-byte prefix; the url
+    only breaks collision ties."""
+    return df.groupBy("url_hash", "url").agg(
         F.min_by(F.struct(*df.columns), F.struct("priority", "url")).alias("s")
     ).select("s.*")
 
@@ -160,12 +174,12 @@ class CrawlRun:
         user_agent: str = "goskyr",
         metrics: str = "full",
         bloom_min_seen: int = 0,
+        transport=None,
     ):
-        # metrics="fast" drops the non-essential per-round count jobs
-        # (frontier-in/records counts, extra counter stages) — the crawl
-        # result is identical; only stats granularity changes. Used by the
-        # throughput bench where per-round job overhead would otherwise
-        # dominate the measurement.
+        # metrics: retained for API compatibility; since round 2 ALL
+        # per-round counts ride on the write actions via Observation and
+        # per-partition lineage comes from parquet footers, so "full"
+        # and "fast" cost the same (zero extra jobs per round).
         self.spark = spark
         self.warehouse = warehouse
         self.pages = pages
@@ -182,7 +196,9 @@ class CrawlRun:
         # maintaining bitsets (at 10^10 URLs the bloom is mandatory; at
         # sandbox scale it is pure overhead). 0 = always on.
         self.bloom_min_seen = bloom_min_seen
+        self.transport = transport
         self._cum_seen = 0
+        self.metrics_log = MetricsLog(warehouse)
         self.budgets = (
             host_budgets(robots, user_agent, round_seconds, default_budget)
             if robots is not None
@@ -225,9 +241,15 @@ class CrawlRun:
         ]
         if not paths:
             return self.spark.createDataFrame([], schemas.SEEN)
+        # url is carried alongside url_hash: every EXACT seen-check joins
+        # on (url_hash, url) so a 64-bit collision (expected ~2-3 at the
+        # north-rule's 10^10 URLs) can never silently mark an uncrawled
+        # URL as seen. The bloom side stays hash-only (probabilistic
+        # pre-filter; false positives are verified here anyway).
         seen = (
             self.spark.read.parquet(*paths)
             .select(
+                "url",
                 "url_hash",
                 self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
                 F.col("round_id").alias("round_added"),
@@ -279,15 +301,38 @@ class CrawlRun:
         frontier.write.mode("overwrite").parquet(self._p("frontier", 0))
         os.makedirs(os.path.join(self.warehouse, "manifest"), exist_ok=True)
 
+    def _frontier_count_hint(self, rnd: int) -> int | None:
+        """The previous round's committed ``next_frontier`` count IS this
+        round's frontier size — no job needed. Stale only if a requeue
+        appended rows after the commit (then recount)."""
+        if rnd == 0:
+            return None
+        if os.path.exists(os.path.join(self.warehouse, "requeued")):
+            return None
+        m = self._manifest(rnd - 1)
+        if not os.path.exists(m):
+            return None
+        try:
+            with open(m) as fh:
+                return json.load(fh)["stats"].get("next_frontier")
+        except (OSError, KeyError, ValueError):
+            return None
+
     def run_round(self, rnd: int) -> dict:
+        """One crawl round = exactly FOUR Spark jobs (selected write,
+        records write, bloom merge write, next-frontier write). Every
+        row count rides on those writes via ``Observation`` — the
+        round-1 engine ran 5-6 additional count/counter jobs per round,
+        which dominated wall-clock at small rounds (the 8→32-core
+        scaling collapse in BENCH_SCALING r1 was exactly this fixed
+        cost). Per-partition lineage comes from the written parquet
+        footers (driver-side metadata read, no job)."""
         t0 = time.time()
         spark, spec = self.spark, self.spec
         frontier = self._read("frontier", rnd, FRONTIER_B)
-        frontier.cache()
-        if self.metrics == "full":
+        n_frontier = self._frontier_count_hint(rnd)
+        if n_frontier is None:
             n_frontier = frontier.count()
-        else:
-            n_frontier = 0 if frontier.isEmpty() else -1
         if n_frontier == 0:
             stats = {"round": rnd, "frontier": 0, "selected": 0, "records": 0, "done": True,
                      "wall_s": time.time() - t0}
@@ -308,29 +353,57 @@ class CrawlRun:
                 blooms = merge_blooms(empty_blooms(spark, spec), seen, spec)
             unseen = filter_unseen(admitted, blooms, seen, spec)
         else:
-            unseen = admitted.join(seen.select("url_hash"), "url_hash", "left_anti")
+            unseen = admitted.join(
+                seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+            )
 
-        selected = select_under_budget(
-            unseen, self.budgets, self.default_budget, self.n_salts
-        ).withColumn("round_id", F.lit(rnd).cast("int"))
+        obs_sel = Observation()
+        selected = (
+            select_under_budget(unseen, self.budgets, self.default_budget, self.n_salts)
+            .withColumn("round_id", F.lit(rnd).cast("int"))
+            .observe(obs_sel, F.count(F.lit(1)).alias("n"))
+        )
         selected.cache()
         t_sched0 = time.time()
-        n_selected = selected.count()
+        (
+            selected.drop("bucket")
+            .withColumn("part_id", F.spark_partition_id())
+            .write.mode("overwrite")
+            .parquet(self._p("selected", rnd))
+        )
+        n_selected = int(obs_sel.get["n"])
         t_schedule = time.time() - t_sched0
 
         carry = carryover(unseen, selected)
 
-        # "fetch": resolve selected URLs against the pages store
-        fetched = selected.join(self.pages.select("url", "html"), on="url", how="left")
+        # "fetch": resolve selected URLs against the pages store (or the
+        # injected transport — see crawl/fetch.py)
+        fetched = self._fetch(selected)
         got = fetched.filter(F.col("html").isNotNull())
         parsed = parse_pages(got, self.config_yaml)
         parsed.cache()
 
-        records = explode_records(parsed, rnd)
-        records.cache()
+        obs_rec = Observation()
+        records = explode_records(parsed, rnd).observe(
+            obs_rec, F.count(F.lit(1)).alias("n")
+        )
         t_parse0 = time.time()
-        n_records = records.count() if self.metrics == "full" else -1
+        (
+            records.withColumn("part_id", F.spark_partition_id())
+            .write.mode("overwrite")
+            .parquet(self._p("records", rnd))
+        )
+        n_records = int(obs_rec.get["n"])
         t_parse = time.time() - t_parse0
+
+        if use_bloom:
+            seen_delta = selected.select(
+                "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
+                F.col("round_id").alias("round_added"),
+            )
+            merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
+                self._p("blooms", rnd)
+            )
 
         # frontier expansion, priority-classed (see module docstring)
         meta = selected.select(
@@ -366,40 +439,20 @@ class CrawlRun:
             "bucket", spec.bucket_col(F.col("url_hash"))
         )
         new_frontier = admission_filter(new_frontier)
-        exclude = seen.select("url_hash").unionByName(selected.select("url_hash"))
-        next_frontier = dedup_frontier(
-            carry.select(*new_frontier.columns).unionByName(new_frontier)
-        ).join(exclude, on="url_hash", how="left_anti")
-
-        # ---- writes (deltas first, manifest last = atomic commit) ----
-        t_w0 = time.time()
-        records.write.mode("overwrite").parquet(self._p("records", rnd))
-        t_wrecords = time.time() - t_w0
-        selected.drop("bucket").write.mode("overwrite").parquet(self._p("selected", rnd))
-        if use_bloom:
-            seen_delta = selected.select(
-                "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
-                F.col("round_id").alias("round_added"),
-            )
-            merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
-                self._p("blooms", rnd)
-            )
+        exclude = seen.select("url_hash", "url").unionByName(
+            selected.select("url_hash", "url")
+        )
+        obs_next = Observation()
+        next_frontier = (
+            dedup_frontier(carry.select(*new_frontier.columns).unionByName(new_frontier))
+            .join(exclude, on=["url_hash", "url"], how="left_anti")
+            .observe(obs_next, F.count(F.lit(1)).alias("n"))
+        )
         t_w1 = time.time()
         next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+        n_next = int(obs_next.get["n"])
         t_wfrontier = time.time() - t_w1
 
-        if self.metrics == "full":
-            counters = (
-                partition_counters(frontier, rnd, "frontier_in")
-                .unionByName(partition_counters(selected, rnd, "selected"))
-                .unionByName(partition_counters(records, rnd, "records"))
-                .unionByName(partition_counters(new_frontier, rnd, "new_urls"))
-            )
-        else:
-            counters = partition_counters(selected, rnd, "selected")
-        counters.write.mode("overwrite").parquet(self._p("counters", rnd))
-
-        n_next = spark.read.parquet(self._p("frontier", rnd + 1)).count()
         stats = {
             "round": rnd,
             "frontier": n_frontier,
@@ -410,21 +463,58 @@ class CrawlRun:
             "wall_s": time.time() - t0,
             "t_schedule": round(t_schedule, 2),
             "t_parse": round(t_parse, 2),
-            "t_write_records": round(t_wrecords, 2),
             "t_write_frontier": round(t_wfrontier, 2),
         }
+        lineage = {
+            stage: parquet_lineage(self._p(stage, r))
+            for stage, r in (("selected", rnd), ("records", rnd), ("frontier", rnd + 1))
+        }
+        for stage, files in lineage.items():
+            self.metrics_log.emit_stage(
+                rnd, stage,
+                n_rows=sum(f["rows"] for f in files),
+                n_bytes=sum(f["bytes"] for f in files),
+            )
+        self.metrics_log.emit_stage(rnd, "schedule", duration_s=t_schedule)
+        self.metrics_log.emit_stage(rnd, "parse", duration_s=t_parse)
+        self.metrics_log.emit_stage(rnd, "round", duration_s=time.time() - t0)
         self._cum_seen += n_selected
-        self._commit(rnd, stats, ["frontier", "selected", "records", "blooms", "counters"])
-        for df in (frontier, selected, parsed, records):
+        self._commit(rnd, stats, ["frontier", "selected", "records", "blooms"], lineage)
+        for df in (selected, parsed):
             df.unpersist()
         return stats
 
-    def _commit(self, rnd: int, stats: dict, tables: list[str]) -> None:
+    def _fetch(self, selected: DataFrame) -> DataFrame:
+        """Resolve selected URLs to HTML. Default: join against the
+        pages table (the sandbox stand-in; at production scale the pages
+        table is the WARC store and this join is bucketed on url). With
+        an injected transport (``crawl/fetch.py``), run the per-host
+        partitioned HTTP fetch stage with the reference client's
+        semantics instead — tests assert both paths produce identical
+        visit logs and records."""
+        if self.transport is not None:
+            from .fetch import fetch_stage
+
+            return fetch_stage(selected, self.transport)
+        return selected.join(self.pages.select("url", "html"), on="url", how="left")
+
+    def _commit(self, rnd: int, stats: dict, tables: list[str],
+                lineage: dict | None = None) -> None:
         os.makedirs(os.path.join(self.warehouse, "manifest"), exist_ok=True)
         tmp = self._manifest(rnd) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"stats": stats, "tables": tables}, fh)
+            json.dump({"stats": stats, "tables": tables, "lineage": lineage or {}}, fh)
         os.replace(tmp, self._manifest(rnd))
+
+    def lineage_counters(self, rnd: int) -> DataFrame:
+        """Per-partition lineage for one committed round, from parquet
+        FOOTERS (one file == one writing task) — no data scan, no job.
+        Columns: round_id, stage, file, part_index, rows, bytes."""
+        rows = []
+        for stage, r in (("selected", rnd), ("records", rnd), ("frontier", rnd + 1)):
+            for f in parquet_lineage(self._p(stage, r)):
+                rows.append((rnd, stage, f["file"], f["part_index"], f["rows"], f["bytes"]))
+        return self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
     def run(self, max_rounds: int = 100) -> list[dict]:
         out = []

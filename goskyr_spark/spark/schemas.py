@@ -42,6 +42,7 @@ FRONTIER = T.StructType(
 
 SEEN = T.StructType(
     [
+        T.StructField("url", T.StringType(), False),
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("round_added", T.IntegerType(), False),

@@ -175,18 +175,48 @@ def test_politeness_budget_respected(spark, corpus, tmp_path):
     )
     assert (per_host["count"] <= budget).all()
 
-    # north_rule lineage: per-partition counters reconcile with the visit log
-    import os
-
+    # north_rule lineage: per-partition parquet-footer counters reconcile
+    # with the visit log (one file == one writing task)
     for rnd in (0, 1):
-        counters = spark.read.parquet(
-            os.path.join(str(tmp_path / "wh4"), "counters", f"round={rnd}")
-        )
+        counters = run.lineage_counters(rnd)
         n_counted = (
-            counters.filter("stage = 'selected'").groupBy().sum("n").first()[0] or 0
+            counters.filter("stage = 'selected'").groupBy().sum("rows").first()[0] or 0
         )
         n_visited = run.visit_log().filter(f"round_id = {rnd}").count()
         assert n_counted == n_visited
+
+
+def test_metrics_emitted_for_every_stage(spark, corpus, tmp_path):
+    """Observability gate: one crawl round emits metric rows for every
+    stage (counts + durations), queryable as a DataFrame, with zero
+    extra Spark jobs (driver-side JSONL + observations)."""
+    from goskyr_spark.observability import load_metrics
+
+    spec, pages, robots = corpus
+    wh = str(tmp_path / "whm")
+    run = CrawlRun(
+        spark, wh, pages, combined_config_yaml(spec), robots=None,
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=4, n_salts=4,
+    )
+    run.init(spec.seed_urls())
+    stats = run.run_round(0)
+
+    m = load_metrics(spark, wh).toPandas()
+    r0 = m[m["round_id"] == 0]
+    stages = set(r0["stage"])
+    assert {"selected", "records", "frontier", "schedule", "parse", "round"} <= stages
+    sel_rows = r0[(r0["stage"] == "selected") & (r0["metric"] == "rows")]["value"].iloc[0]
+    assert int(sel_rows) == stats["selected"]
+    rec_rows = r0[(r0["stage"] == "records") & (r0["metric"] == "rows")]["value"].iloc[0]
+    assert int(rec_rows) == stats["records"]
+    assert (r0[r0["metric"] == "duration"]["value"] >= 0).all()
+    # manifest embeds the per-partition lineage
+    import os
+
+    with open(os.path.join(wh, "manifest", "round=0.json")) as fh:
+        manifest = json.load(fh)
+    assert sum(f["rows"] for f in manifest["lineage"]["selected"]) == stats["selected"]
 
 
 def test_bloom_on_off_equivalence(spark, tmp_path):

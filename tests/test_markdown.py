@@ -33,6 +33,81 @@ def test_lists_and_nbsp_and_blockquote():
     assert "quoted" in md and "after" in md
 
 
+# The reference's own test surface for this area is scrape_test.go
+# 1095-1301 (getHTMLString / ExtractFieldHTML over the
+# htmlStringRichDescription fixture — ported verbatim in
+# tests/test_text_vectors.py). The reference has NO markdown-specific
+# vectors (grep: no TestExtractFieldMarkdown exists; no golden config
+# uses type: markdown), so the converter itself has no reference gate.
+# The vectors below run the markdown FIELD path over the reference's
+# exact rich fixture.
+#
+# KNOWN CONVERTER DIVERGENCES vs the Go html-to-markdown/v2 library
+# (enumerated like the golden allowlist; none is observable through any
+# reference fixture or config):
+#   1. no markdown-character escaping of literal * _ # in text nodes
+#      (v2 escapes them; goskyr post-processing never un-escapes)
+#   2. <table> renders as block text, not pipe tables
+#   3. <pre> blocks are not fenced (inline `code` only)
+#   4. nested <ul>/<ol> are flattened (no indentation levels)
+#   5. link title attributes ([text](href "title")) are dropped
+RICH_FIXTURE = """
+<div class="event-page">
+\t<h1 class="event-title">Weekend Retreat</h1>
+\t<div class="event-description">
+\t\t<p>Join us for a <strong>transformative weekend</strong> exploring the Enneagram.</p>
+\t\t<p>What to bring:</p>
+\t\t<ul>
+\t\t\t<li>Journal and pen</li>
+\t\t\t<li>Comfortable clothing</li>
+\t\t</ul>
+\t\t<p>Visit <a href="https://example.com/venue">our venue</a> for directions.</p>
+\t\t<p><img src="retreat.jpg" alt="Retreat photo">Beautiful setting.</p>
+\t</div>
+\t<div class="event-summary">A weekend retreat for exploring the Enneagram.</div>
+</div>"""
+
+
+def test_markdown_field_over_reference_rich_fixture():
+    """extractField(type=markdown) over htmlStringRichDescription
+    (scrape_test.go:1079-1093): the converted output must carry the
+    markdown forms of every element the HTML vectors assert on."""
+    yml = """
+id:
+  slug: md-rich
+  id: n01a
+scrapers:
+  - url: https://md.example.com
+    selector: div.event-page
+    fields:
+      - name: description
+        type: markdown
+        location:
+          selector: .event-description
+"""
+    cfg = Config.from_yaml(yml)
+    recs = gq_document(cfg, cfg.scrapers[0], PageDoc("https://md.example.com", RICH_FIXTURE))
+    assert len(recs) == 1
+    md = recs[0]["description"]
+    assert "**transformative weekend**" in md          # <strong>
+    assert "- Journal and pen" in md                   # <ul><li>
+    assert "- Comfortable clothing" in md
+    assert "[our venue](https://example.com/venue)" in md  # <a href>
+    assert "![Retreat photo](retreat.jpg)" in md       # <img>
+    assert "<" not in md                               # no tags survive
+    assert "\n\n\n\n" not in md                        # post-processing cap
+
+
+def test_markdown_empty_selector_is_empty():
+    """getMarkdownString short-circuits on empty HTML (scrape.go:2181-2187)."""
+    from goskyr_spark.config.model import ElementLocation
+    from goskyr_spark.extract.markdown import get_markdown_string
+    from goskyr_spark.extract.record import PageDoc
+
+    doc = PageDoc("http://x", RICH_FIXTURE)
+    assert get_markdown_string(ElementLocation(selector=".nonexistent"), [doc.tree]) == ""
+
+
 def test_markdown_field_end_to_end():
     yml = """
 id:

@@ -79,6 +79,34 @@ def test_api_writer_reference_protocol():
     assert len(w2.errors) == 1
 
 
+def test_interaction_config_parses_and_warns():
+    """fetch/fetcher.go:29-39 Interaction surface: parsed into the model
+    and warned about loudly (this engine fetches statically), never
+    silently dropped."""
+    import warnings
+
+    from goskyr_spark.config.model import Config
+
+    yml = """
+id:
+  slug: x
+scrapers:
+  - name: s
+    url: http://x
+    interaction:
+      - type: click
+        selector: ".more"
+        count: 2
+        delay: 100
+"""
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = Config.from_yaml(yml)
+    assert any("interaction" in str(x.message) for x in w)
+    ia = cfg.scrapers[0].interaction[0]
+    assert (ia.type, ia.selector, ia.count, ia.delay) == ("click", ".more", 2, 100)
+
+
 def test_cli_scrape_matches_golden(tmp_path):
     """python -m goskyr_spark scrape on a reference fixture config."""
     yml = "/root/reference/testdata/scraping/quotes-toscrape-com_configs/quotes-toscrape-com__n10aba.yml"

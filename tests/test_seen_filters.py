@@ -12,7 +12,9 @@ from goskyr_spark.crawl.robots import crawl_delay, is_allowed, parse_robots
 
 
 def _cand(spark, hashes, spec):
-    df = spark.createDataFrame([(int(h),) for h in hashes], "url_hash long")
+    df = spark.createDataFrame(
+        [(int(h), f"http://x/u{int(h)}") for h in hashes], "url_hash long, url string"
+    )
     return df.withColumn("bucket", spec.bucket_col(F.col("url_hash")))
 
 
@@ -47,6 +49,35 @@ def test_bloom_false_positive_rate_sane(spark):
     fp = tagged.filter(F.col("maybe_seen")).count()
     # 1000 keys in 4×16384 bits with k=7 → fp well under 5%
     assert fp / len(probe) < 0.05, fp
+
+
+def test_hash_collision_does_not_suppress_url(spark):
+    """Two distinct URLs with the SAME 64-bit hash (crafted): the exact
+    seen-check joins on (url_hash, url), so the unseen colliding URL
+    must survive; and frontier dedup must keep both."""
+    spec = BloomSpec(n_buckets=4, bits_per_bucket=1 << 12, k=5)
+    seen = spark.createDataFrame(
+        [(42, "http://a.example/1", 0)], "url_hash long, url string, round_added int"
+    ).withColumn("bucket", spec.bucket_col(F.col("url_hash")))
+    blooms = merge_blooms(empty_blooms(spark, spec), seen, spec)
+    cand = spark.createDataFrame(
+        [(42, "http://b.example/2")], "url_hash long, url string"
+    ).withColumn("bucket", spec.bucket_col(F.col("url_hash")))
+    # bloom says maybe-seen (same hash), exact (hash, url) check rescues
+    out = filter_unseen(cand, blooms, seen, spec)
+    assert out.count() == 1
+
+    from goskyr_spark.crawl.rounds import dedup_frontier
+
+    fr = spark.createDataFrame(
+        [
+            ("http://a.example/1", 42, "a.example", "example", 1.0, 0, 0),
+            ("http://b.example/2", 42, "b.example", "example", 2.0, 0, 0),
+        ],
+        "url string, url_hash long, host string, domain string, "
+        "priority double, depth int, round_added int",
+    )
+    assert dedup_frontier(fr).count() == 2
 
 
 def test_cuckoo_insert_delete_contains_local():
