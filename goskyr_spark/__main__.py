@@ -44,6 +44,9 @@ def cmd_generate(args) -> int:
         min_occs=min_occs,
         do_detail_pages=args.detail_pages,
         require_string=args.require_string,
+        min_records=args.min_records,
+        require_dates=args.require_dates,
+        only_varying_fields=not args.all_fields,
     )
     for cid in sorted(by_id):
         print(f"# --- {cid} ---")
@@ -96,7 +99,14 @@ def main(argv=None) -> int:
     pg.add_argument("--cache-dir", required=True)
     pg.add_argument("--min-occs", default="5,10,20")
     pg.add_argument("--detail-pages", action="store_true")
-    pg.add_argument("--require-string", default="")
+    pg.add_argument("--require-string", default="",
+                    help="require a candidate config to extract this text (RequireString)")
+    pg.add_argument("--min-records", type=int, default=0,
+                    help="minimum records a scraper must produce (MinRecords)")
+    pg.add_argument("--require-dates", action="store_true",
+                    help="require a date field for most items (RequireDates)")
+    pg.add_argument("--all-fields", action="store_true",
+                    help="keep static fields too (negates OnlyVaryingFields)")
     pg.set_defaults(fn=cmd_generate)
 
     pc = sub.add_parser("crawl")

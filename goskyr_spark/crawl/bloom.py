@@ -158,7 +158,11 @@ def filter_unseen(candidates: DataFrame, blooms: DataFrame, seen: DataFrame, spe
     tagged = split_by_bloom(candidates, blooms, spec)
     definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    # the seen table is unbounded — never a driver broadcast (shuffle
+    # hash join: co-partitioned probe of the maybe-seen residue only)
     verified_new = maybes.join(
-        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        seen.select("url_hash", "url").hint("shuffle_hash"),
+        on=["url_hash", "url"],
+        how="left_anti",
     )
     return definitely_new.unionByName(verified_new)

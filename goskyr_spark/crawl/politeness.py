@@ -64,6 +64,10 @@ def carryover(frontier: DataFrame, selected: DataFrame) -> DataFrame:
     the next round. Anti-join on (url_hash, url): the url tiebreaker
     makes 64-bit hash collisions harmless (hash-only would drop the
     colliding un-selected URL from the frontier forever)."""
+    # selected is budget-bounded per round but still ~10^8 rows at the
+    # north-rule scale — shuffle hash, never a driver broadcast
     return frontier.join(
-        selected.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        selected.select("url_hash", "url").hint("shuffle_hash"),
+        on=["url_hash", "url"],
+        how="left_anti",
     )

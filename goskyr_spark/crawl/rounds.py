@@ -353,8 +353,16 @@ class CrawlRun:
                 blooms = merge_blooms(empty_blooms(spark, spec), seen, spec)
             unseen = filter_unseen(admitted, blooms, seen, spec)
         else:
+            # seen grows without bound — it must NEVER be a driver
+            # broadcast (at 10^10 URLs it is terabytes; in the sandbox a
+            # few hundred k rows already OOMed an 8g driver when Catalyst
+            # picked broadcast from parquet size stats). shuffle_hash
+            # pins a shuffled hash join: co-partitioned, no sort, no
+            # driver materialization.
             unseen = admitted.join(
-                seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+                seen.select("url_hash", "url").hint("shuffle_hash"),
+                ["url_hash", "url"],
+                "left_anti",
             )
 
         obs_sel = Observation()
@@ -409,7 +417,9 @@ class CrawlRun:
         meta = selected.select(
             F.col("url").alias("parent_url"), F.col("priority").alias("pprio"), "depth"
         )
-        par = parsed.join(meta, parsed["url"] == meta["parent_url"], "inner")
+        # parsed and meta are both round-sized (~10^8 at scale): shuffle
+        # hash, not broadcast
+        par = parsed.join(meta.hint("shuffle_hash"), parsed["url"] == meta["parent_url"], "inner")
         nexts = par.filter(F.col("next_url").isNotNull()).select(
             F.col("next_url").alias("url"),
             (F.col("pprio") + F.lit(1.0)).alias("priority"),
@@ -439,13 +449,14 @@ class CrawlRun:
             "bucket", spec.bucket_col(F.col("url_hash"))
         )
         new_frontier = admission_filter(new_frontier)
+        # exclude contains the whole seen set — same no-broadcast rule
         exclude = seen.select("url_hash", "url").unionByName(
             selected.select("url_hash", "url")
         )
         obs_next = Observation()
         next_frontier = (
             dedup_frontier(carry.select(*new_frontier.columns).unionByName(new_frontier))
-            .join(exclude, on=["url_hash", "url"], how="left_anti")
+            .join(exclude.hint("shuffle_hash"), on=["url_hash", "url"], how="left_anti")
             .observe(obs_next, F.count(F.lit(1)).alias("n"))
         )
         t_w1 = time.time()

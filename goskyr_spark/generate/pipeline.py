@@ -17,7 +17,8 @@ from .detail import configurations_for_all_detail_pages
 
 def generate_for_page(url: str, get_page, min_occs=(5, 10, 20), require_string: str = "",
                       do_detail_pages: bool = False, render_js: bool = True,
-                      min_records: int = 0, ref_time=None) -> dict:
+                      min_records: int = 0, require_dates: bool = False,
+                      only_varying_fields: bool = True, ref_time=None) -> dict:
     """→ {config_id_string: Config} (page configs + detail configs)."""
     html = get_page(url)
     if html is None:
@@ -27,10 +28,11 @@ def generate_for_page(url: str, get_page, min_occs=(5, 10, 20), require_string: 
         url=url,
         min_occs=tuple(min_occs),
         do_detail_pages=do_detail_pages,
-        only_varying_fields=True,
+        only_varying_fields=only_varying_fields,
         render_js=render_js,
         require_string=require_string,
         min_records=min_records,
+        require_dates=require_dates,
         ref_time=ref_time,
     ).init()
     cs = configurations_for_gq_document(doc, opts)

@@ -96,6 +96,32 @@ def test_near_dup_plans_have_no_unblocked_self_join(spark):
         assert "band_idx" in plan, plan
 
 
+def test_ann_bucket_partition_pruning(spark, tmp_path):
+    """The ANN scale story: with the sign-LSH bucket as the embeddings
+    table's partition key, the probe filter must PRUNE partitions at the
+    scan (read only the probed buckets), not scan-then-filter."""
+    from goskyr_spark.ops.similarity import hyperplane_bucket
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "emb_by_bucket")
+    (
+        emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"), n_planes=4))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    probed = spark.read.parquet(path).filter(F.col("bucket").isin([3, 5, 9]))
+    plan = plan_of(probed)
+    import re
+
+    m = re.search(r"partition filters: \[([^\]]*)\]", plan, re.IGNORECASE)
+    assert m and "bucket" in m.group(1), plan
+    # pruned scan reads at most the 3 probed partition dirs
+    assert probed.select("bucket").distinct().count() <= 3
+
+
 def test_bucketed_pages_join_avoids_exchange(spark, tmp_path):
     """The production fetch join co-locates by bucketing the pages table
     on url: the bucketed side must join with NO Exchange (the frontier

@@ -37,7 +37,7 @@ from goskyr_spark.crawl.bloom import BloomSpec
 cpus = @CPUS@
 spark = build_session(app_name='scaling', master='local[%d]' % cpus, shuffle_partitions=3 * cpus)
 spec = CorpusSpec(n_hosts=@HOSTS@, list_pages_per_host=5, items_per_page=20,
-                  mega_factor=4, seed=42, body_words=4000)
+                  mega_factor=4, seed=42, body_words=@BODY@)
 pages = generate_pages(spark, spec, partitions=4 * cpus).cache()
 n_pages = pages.count()
 robots = generate_robots(spark, spec)
@@ -67,6 +67,7 @@ urls = sum(s.get('selected', 0) for s in stats)
 shutil.rmtree(wh, ignore_errors=True)
 print('RESULT ' + json.dumps({
     'cpus': cpus, 'pages': n_pages, 'urls': urls, 'rounds': len(stats),
+    'peak_round_urls': max((s.get('selected', 0) for s in stats), default=0),
     'crawl_wall_s': round(t_crawl, 2), 'crawl_urls_per_sec': round(urls / t_crawl, 1),
     'extract_wall_s': round(t_extract, 2), 'extract_pages_per_sec': round(n_pages / t_extract, 1),
 }))
@@ -74,11 +75,17 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, hosts: int) -> dict:
-    code = _CODE.replace("@REPO@", REPO).replace("@CPUS@", str(cpus)).replace("@HOSTS@", str(hosts))
+def run_at(cpus: int, hosts: int, body_words: int = 4000) -> dict:
+    code = (
+        _CODE.replace("@REPO@", REPO)
+        .replace("@CPUS@", str(cpus))
+        .replace("@HOSTS@", str(hosts))
+        .replace("@BODY@", str(body_words))
+    )
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     out = subprocess.run(
         [sys.executable, "-c", code],
-        cwd=REPO, capture_output=True, text=True, timeout=3600,
+        cwd=REPO, capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -89,8 +96,9 @@ def run_at(cpus: int, hosts: int) -> dict:
 def main():
     hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    small = run_at(n_small, hosts)
-    big = run_at(4 * n_small, hosts)
+    body_words = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+    small = run_at(n_small, hosts, body_words)
+    big = run_at(4 * n_small, hosts, body_words)
 
     def eff(key):
         sp = big[key] / small[key]
