@@ -78,19 +78,15 @@ _SKIP_EXT = (
 )
 
 
-@F.pandas_udf(T.StringType())
-def canonical_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonical_url)
-
-
-@F.pandas_udf(T.StringType())
-def host_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(host_of)
-
-
-@F.pandas_udf(T.StringType())
-def domain_udf(hosts: pd.Series) -> pd.Series:
-    return hosts.map(registrable_domain)
+_TO_FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("priority", T.DoubleType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+    ]
+)
 
 
 def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
@@ -98,16 +94,74 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
     """urls(url, priority, depth) → FRONTIER rows: canonicalize, hash,
     host/domain keys, per-URL dedup keeping the best (lowest) priority.
     ``dedup=False`` defers the dedup shuffle so the caller can fuse it
-    with a downstream union (one shuffle instead of two)."""
+    with a downstream union (one shuffle instead of two).
+
+    ONE mapInPandas pass does canonicalize + host + domain (three
+    chained scalar pandas UDFs cost three Arrow round trips and were the
+    dominant flat cost of the frontier-expansion job — measured ~4 s/
+    round regardless of core count), plus a MAP-SIDE COMBINE: within
+    each Arrow batch, duplicate raw URLs (nav links repeat on every page
+    of a host) collapse to their best-priority row before any Python
+    string work, and canonicalization runs once per UNIQUE url. The
+    global dedup shuffle (or the caller's fused one) still applies."""
+    src = urls.select(
+        F.col("url"),
+        F.col(priority_col).cast("double").alias("priority"),
+        F.col(depth_col).cast("int").alias("depth"),
+    )
+
+    def _emit(pdf):
+        # Map-side combine, HASH-based only — no sort. A full
+        # sort_values on the url strings (the obvious way to keep the
+        # best-priority row per url) costs more python time than the
+        # canonicalization it saves and gets worse with more/smaller
+        # partitions; identical (url, priority) pairs are the dominant
+        # duplication (a host's nav links repeat on every page at the
+        # same priority class), and dropping those is exact: the global
+        # dedup shuffle still picks the best row per canonical url.
+        pdf = pdf.drop_duplicates(["url", "priority"])
+        # memoize the python URL functions per UNIQUE value
+        cmap = {u: canonical_url(u) for u in pd.unique(pdf["url"])}
+        canon = pdf["url"].map(cmap)
+        hmap = {c: host_of(c) for c in pd.unique(canon)}
+        host = canon.map(hmap)
+        dmap = {h: registrable_domain(h) for h in pd.unique(host)}
+        dom = host.map(dmap)
+        return pd.DataFrame(
+            {
+                "url": canon,
+                "host": host,
+                "domain": dom,
+                "priority": pdf["priority"].to_numpy(),
+                "depth": pdf["depth"].to_numpy(),
+            }
+        )
+
+    def gen(batches):
+        # The session's Arrow batch size is tuned for HEAVY page rows
+        # (2048/batch); frontier rows are ~70 bytes, so honoring it here
+        # would mean ~1500 pandas calls per 3M-URL round — per-batch
+        # overhead swamps the work. Re-batch the iterator to ~128k rows
+        # before touching pandas (also makes the map-side dedup see a
+        # partition-sized window instead of a 2048-row one).
+        buf, n = [], 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf.append(pdf)
+            n += len(pdf)
+            if n >= 131_072:
+                yield _emit(pd.concat(buf, ignore_index=True))
+                buf, n = [], 0
+        if buf:
+            yield _emit(pd.concat(buf, ignore_index=True))
+
     df = (
-        urls.withColumn("url", canonical_url_udf("url"))
+        src.mapInPandas(gen, schema=_TO_FRONTIER_SCHEMA)
         .withColumn("url_hash", F.xxhash64("url"))
-        .withColumn("host", host_udf("url"))
-        .withColumn("domain", domain_udf("host"))
-        .withColumn("priority", F.col(priority_col).cast("double"))
-        .withColumn("depth", F.col(depth_col).cast("int"))
         .withColumn("round_added", F.lit(round_id).cast("int"))
-    ).select(*[f.name for f in schemas.FRONTIER.fields])
+        .select(*[f.name for f in schemas.FRONTIER.fields])
+    )
     if not dedup:
         return df
     return dedup_frontier(df)
