@@ -197,19 +197,6 @@ def admission_filter(frontier: DataFrame) -> DataFrame:
     return frontier.filter(scheme_ok & ext_ok)
 
 
-def partition_counters(df: DataFrame, round_id: int, stage: str) -> DataFrame:
-    return (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit(round_id).cast("int").alias("round_id"),
-            F.col("partition_id").cast("int"),
-            F.lit(stage).alias("stage"),
-            F.col("n").cast("long"),
-        )
-    )
-
-
 class CrawlRun:
     """Driver for a checkpointed multi-round crawl over a pages table."""
 

@@ -97,15 +97,24 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
+    # MATERIALIZE the hash array in its own projection before the
+    # sliding-window pass: the window transform references the array
+    # once per index, and inlining the md5 expression there makes Spark
+    # recompute the ENTIRE hash array per window position — O(n²) md5
+    # calls (measured 214 s at sf0.1 vs ~2 s materialized). A multi-
+    # referenced non-trivial alias blocks CollapseProject, so the
+    # projection boundary is stable.
+    h = docs.select("doc_id", hashes.alias("hs"))
+    hs = F.col("hs")
     # windows of `window` consecutive hashes → min each → distinct.
     # sequence() is guarded: stop < start would yield a DESCENDING range.
-    idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - window + 1, F.lit(1)))
-    mins = F.when(F.size(hashes) == 0, F.array().cast("array<bigint>")).otherwise(
-        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(hs) - window + 1, F.lit(1)))
+    mins = F.when(F.size(hs) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(idx, lambda i: F.array_min(F.slice(hs, i, window)))
     )
-    return docs.select(
+    return h.select(
         "doc_id",
-        F.size(hashes).alias("n_grams"),
+        F.size(hs).alias("n_grams"),
         F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     ).select(
         "doc_id",

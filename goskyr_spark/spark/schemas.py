@@ -11,7 +11,9 @@ replacement for goskyr's in-memory state:
                    detail-URL list at ``scrape/scrape.go:2327-2403``)
 * seen           ← the ``visited`` map ``/root/reference/scrape/scrape.go:640``
 * records        ← ``output.Records`` ``/root/reference/output/record.go:10``
-* counters       ← new (north_rule): per-round per-partition lineage.
+* lineage        ← new (north_rule): per-round per-partition counts, read
+                   from the delta files' parquet footers
+                   (``observability.parquet_lineage``).
 """
 
 from __future__ import annotations
@@ -68,14 +70,8 @@ PARSED_PAGE = T.StructType(
     ]
 )
 
-COUNTERS = T.StructType(
-    [
-        T.StructField("round_id", T.IntegerType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("stage", T.StringType(), False),
-        T.StructField("n", T.LongType(), False),
-    ]
-)
+# Per-partition lineage lives in the written parquet footers since
+# round 2 (observability.LINEAGE_SCHEMA); no separate counters table.
 
 ROBOTS = T.StructType(
     [

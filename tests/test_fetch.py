@@ -94,3 +94,62 @@ def test_urllib_transport_is_picklable():
     t = UrllibTransport(timeout_s=3.0)
     t2 = pickle.loads(pickle.dumps(t))
     assert t2.timeout_s == 3.0
+
+
+def test_urllib_transport_against_local_server():
+    """Real HTTP through the production transport (loopback server):
+    pinned UA arrives on the wire, 301 is captured not followed, dead
+    connection degrades to status 0."""
+    import http.server
+    import threading
+
+    from goskyr_spark.crawl.fetch import UrllibTransport, fetch_one
+
+    seen_headers = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_headers[self.path] = dict(self.headers)
+            if self.path == "/moved":
+                self.send_response(301)
+                self.send_header("Location", "/target")
+                self.end_headers()
+            elif self.path == "/missing":
+                self.send_response(404)
+                self.end_headers()
+            else:
+                body = b"<html>served</html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = UrllibTransport(timeout_s=5.0)
+        base = f"http://127.0.0.1:{port}"
+
+        s, c, r, b = fetch_one(t, f"{base}/page")
+        assert (s, b) == (200, b"<html>served</html>")
+        assert c.startswith("text/html") and r == f"{base}/page"
+        assert "Chrome/127" in seen_headers["/page"]["User-Agent"]
+        assert seen_headers["/page"]["Accept"] == "*/*"
+
+        s, c, r, b = fetch_one(t, f"{base}/moved")
+        assert (s, r, b) == (301, "/target", None)  # captured, NOT followed
+        assert "/target" not in seen_headers  # server never saw a follow
+
+        s, _, _, b = fetch_one(t, f"{base}/missing")
+        assert (s, b) == (404, None)
+
+        # dead port → status 0 row, no exception
+        s, _, r, b = fetch_one(t, "http://127.0.0.1:9/x")
+        assert (s, r, b) == (0, None, None)
+    finally:
+        srv.shutdown()

@@ -116,7 +116,7 @@ def test_ann_bucket_partition_pruning(spark, tmp_path):
     plan = plan_of(probed)
     import re
 
-    m = re.search(r"partition filters: \[([^\]]*)\]", plan, re.IGNORECASE)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan
     # pruned scan reads at most the 3 probed partition dirs
     assert probed.select("bucket").distinct().count() <= 3
