@@ -31,13 +31,22 @@ def select_under_budget(
     budgets: DataFrame | None = None,
     default_budget: int = 32,
     n_salts: int = 8,
+    salted: bool = True,
 ) -> DataFrame:
     """frontier(url, url_hash, host, domain, priority, …) →
     rows selected this round, with ``visit_rank`` (1-based per host) and
     ``selected`` flag; unselected rows carry over to the next round.
 
     ``budgets``: optional (host, budget) — e.g. from robots Crawl-delay
-    (``robots.host_budgets``); broadcast-joined (one row per host)."""
+    (``robots.host_budgets``); broadcast-joined (one row per host).
+
+    ``salted=False`` skips phase 1 entirely (one window, one shuffle).
+    The output is IDENTICAL either way — phase 1 only pre-drops rows
+    phase 2 would drop — so the caller may disable salting whenever the
+    whole frontier is small enough that even a worst-case single-host
+    window task is trivial (the crawl engine keys this on the known
+    frontier count; the skew protection matters only when one host can
+    hold millions of rows)."""
     if budgets is not None:
         df = frontier.join(F.broadcast(budgets), on="host", how="left").withColumn(
             "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
@@ -45,17 +54,18 @@ def select_under_budget(
     else:
         df = frontier.withColumn("budget", F.lit(default_budget))
 
-    w1 = Window.partitionBy(
-        "host", F.pmod(F.xxhash64("url"), F.lit(n_salts))
-    ).orderBy("priority", "url")
-    phase1 = (
-        df.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("budget"))
-        .drop("_r1")
-    )
+    if salted:
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+        ).orderBy("priority", "url")
+        df = (
+            df.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= F.col("budget"))
+            .drop("_r1")
+        )
 
     w2 = Window.partitionBy("host").orderBy("priority", "url")
-    ranked = phase1.withColumn("visit_rank", F.row_number().over(w2))
+    ranked = df.withColumn("visit_rank", F.row_number().over(w2))
     return ranked.filter(F.col("visit_rank") <= F.col("budget")).drop("budget")
 
 

@@ -216,6 +216,7 @@ class CrawlRun:
         metrics: str = "full",
         bloom_min_seen: int = 0,
         transport=None,
+        salt_min_frontier: int = 50_000,
     ):
         # metrics: retained for API compatibility; since round 2 ALL
         # per-round counts ride on the write actions via Observation and
@@ -238,6 +239,11 @@ class CrawlRun:
         # sandbox scale it is pure overhead). 0 = always on.
         self.bloom_min_seen = bloom_min_seen
         self.transport = transport
+        # Below this frontier size the salted politeness phase is skipped
+        # (output identical; see politeness.select_under_budget) — even a
+        # worst-case single-host window over the whole frontier is a
+        # trivial task, and the extra window costs a whole shuffle.
+        self.salt_min_frontier = salt_min_frontier
         self._cum_seen = 0
         self.metrics_log = MetricsLog(warehouse)
         self.budgets = (
@@ -252,6 +258,13 @@ class CrawlRun:
 
     def _manifest(self, rnd: int) -> str:
         return os.path.join(self.warehouse, "manifest", f"round={rnd}.json")
+
+    def _has_seen(self, upto: int) -> bool:
+        """True if any committed round wrote a selected delta (driver-
+        side directory check — no job)."""
+        return any(
+            os.path.exists(self._p("selected", r)) for r in range(upto + 1)
+        )
 
     def resume_round(self) -> int:
         """First round that has NOT committed (manifest = atomic marker)."""
@@ -384,10 +397,15 @@ class CrawlRun:
         if self.robots is not None:
             admitted = admit_robots(admitted, self.robots, self.user_agent)
 
-        seen = self._seen_all(rnd - 1)
-        use_bloom = self._cum_seen >= self.bloom_min_seen
+        has_seen = self._has_seen(rnd - 1)
+        seen = self._seen_all(rnd - 1) if has_seen else None
+        use_bloom = has_seen and self._cum_seen >= self.bloom_min_seen
         blooms = None
-        if use_bloom:
+        if not has_seen:
+            # round 0 (or nothing committed yet): the seen set is
+            # provably empty — skip the anti-join job entirely
+            unseen = admitted
+        elif use_bloom:
             if rnd > 0 and os.path.exists(self._p("blooms", rnd - 1)):
                 blooms = spark.read.parquet(self._p("blooms", rnd - 1))
             else:
@@ -408,7 +426,10 @@ class CrawlRun:
 
         obs_sel = Observation()
         selected = (
-            select_under_budget(unseen, self.budgets, self.default_budget, self.n_salts)
+            select_under_budget(
+                unseen, self.budgets, self.default_budget, self.n_salts,
+                salted=n_frontier > self.salt_min_frontier,
+            )
             .withColumn("round_id", F.lit(rnd).cast("int"))
             .observe(obs_sel, F.count(F.lit(1)).alias("n"))
         )
@@ -491,9 +512,9 @@ class CrawlRun:
         )
         new_frontier = admission_filter(new_frontier)
         # exclude contains the whole seen set — same no-broadcast rule
-        exclude = seen.select("url_hash", "url").unionByName(
-            selected.select("url_hash", "url")
-        )
+        exclude = selected.select("url_hash", "url")
+        if has_seen:
+            exclude = seen.select("url_hash", "url").unionByName(exclude)
         obs_next = Observation()
         next_frontier = (
             dedup_frontier(carry.select(*new_frontier.columns).unionByName(new_frontier))
