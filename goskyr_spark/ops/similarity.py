@@ -158,6 +158,137 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 
     return ranked.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def train_ivf_centroids(
+    emb: DataFrame, n_cells: int = 8, n_iter: int = 3
+) -> list[list[float]]:
+    """Distributed Lloyd k-means for IVF coarse centroids: deterministic
+    init (vectors 0..n_cells-1), then ``n_iter`` rounds of
+    assign-to-nearest (JVM argmax over broadcast centroid literals) +
+    per-cell element-wise mean (posexplode → groupBy(cell, dim).avg —
+    one shuffle of (cell, dim, value) triples per iteration, fully
+    map-side combined). Only the n_cells×dim centroid matrix ever
+    reaches the driver. Empty cells keep their previous centroid."""
+    e = with_norm(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+    cents = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+
+    def assign_expr(cent_list):
+        best = None
+        for ci, cvec in enumerate(cent_list):
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            cn = sum(x * x for x in cvec) ** 0.5
+            sim = dot(F.col("embedding"), carr) / (F.col("norm") * F.lit(cn))
+            pair = F.struct(sim.alias("s"), F.lit(ci).alias("cell"))
+            best = pair if best is None else F.when(pair["s"] > best["s"], pair).otherwise(best)
+        return best["cell"]
+
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        assigned = e.withColumn("cell", assign_expr(cents))
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = r["m"]
+        for ci, vec in by_cell.items():
+            new_cents[ci] = vec
+        cents = new_cents
+    return cents
+
+
+def ivf_trained_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0,
+                     n_cells: int = 8, n_probe: int = 2, n_iter: int = 3) -> DataFrame:
+    """IVF with Lloyd-trained centroids (see train_ivf_centroids) — the
+    production form of ``ivf_topk`` (whose fixed sample centroids keep
+    the driver-gate oracle replicable). Recall vs brute force is the
+    unit-test gate."""
+    emb = with_norm(_emb(spark, sf_dir))
+    cents = train_ivf_centroids(emb, n_cells, n_iter)
+    q = query_vector(spark, sf_dir, query_id)
+    qnorm = sum(x * x for x in q) ** 0.5
+
+    def assign_expr():
+        best = None
+        for ci, cvec in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            cn = sum(x * x for x in cvec) ** 0.5
+            sim = dot(F.col("embedding"), carr) / (F.col("norm") * F.lit(cn))
+            pair = F.struct(sim.alias("s"), F.lit(ci).alias("cell"))
+            best = pair if best is None else F.when(pair["s"] > best["s"], pair).otherwise(best)
+        return best["cell"]
+
+    def cos_py(a, b):
+        import math
+
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    probe_ids = [
+        ci for ci, _ in sorted(
+            enumerate(cents), key=lambda t: (-cos_py(q, t[1]), t[0])
+        )[:n_probe]
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
+    ranked = (
+        emb.withColumn("cell", assign_expr())
+        .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != query_id))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return ranked.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def build_ann_index(emb: DataFrame, path: str, n_planes: int = 4, seed: int = PLANE_SEED,
+                    dim: int = 64) -> None:
+    """Materialize the embeddings table PARTITIONED BY sign-LSH bucket —
+    the scale form of the ANN index: a probe then partition-prunes the
+    scan to the probed buckets (tests/test_plans.py asserts the
+    PartitionFilters reach the scan). At 10^9 vectors raise n_planes so
+    bucket cardinality keeps partitions at ~100-500 MB."""
+    (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding"), n_planes, seed, dim))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_indexed_topk(spark: SparkSession, index_path: str, q: list[float], k: int = 10,
+                     n_planes: int = 4, multiprobe_hamming: int = 1) -> DataFrame:
+    """Top-k over a ``build_ann_index`` table: the bucket .isin filter is
+    a partition filter, so only the probed bucket directories are read."""
+    qnorm = sum(x * x for x in q) ** 0.5
+    qbucket = (
+        spark.createDataFrame([(q,)], "embedding array<double>")
+        .select(hyperplane_bucket(F.col("embedding"), n_planes).alias("b"))
+        .first()["b"]
+    )
+    probes = [b for b in range(1 << n_planes)
+              if bin(b ^ qbucket).count("1") <= multiprobe_hamming]
+    emb = with_norm(spark.read.parquet(index_path).filter(F.col("bucket").isin(probes)))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
+    ranked = (
+        emb.withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return ranked.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0,
              n_cells: int = 8, n_probe: int = 2) -> DataFrame:
     """IVF ANN: coarse centroids = a deterministic sample of the corpus

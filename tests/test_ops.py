@@ -162,6 +162,52 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_trained_recall(spark):
+    """Lloyd-trained IVF: training converges deterministically and the
+    probed search keeps usable recall vs brute force."""
+    from goskyr_spark.ops.similarity import (
+        _emb,
+        cosine_topk,
+        ivf_trained_topk,
+        train_ivf_centroids,
+        with_norm,
+    )
+
+    emb = with_norm(_emb(spark, SF))
+    c1 = train_ivf_centroids(emb, n_cells=4, n_iter=2)
+    c2 = train_ivf_centroids(emb, n_cells=4, n_iter=2)
+    assert c1 == c2  # deterministic
+    assert len(c1) == 4 and len(c1[0]) == 64
+
+    exact = [r["vec_id"] for r in cosine_topk(spark, SF, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_trained_topk(spark, SF, k=10, n_cells=4, n_probe=2, n_iter=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_ann_indexed_topk_matches_unindexed(spark, tmp_path):
+    """The bucket-partitioned index path returns the same ranking as the
+    in-memory LSH scan (same planes, same probes)."""
+    from goskyr_spark.ops.similarity import (
+        _emb,
+        ann_indexed_topk,
+        ann_lsh_topk,
+        build_ann_index,
+        query_vector,
+    )
+
+    path = str(tmp_path / "ann_index")
+    build_ann_index(_emb(spark, SF), path, n_planes=4)
+    q = query_vector(spark, SF, 0)
+    got = [(r["vec_id"], r["rank"]) for r in ann_indexed_topk(spark, path, q, k=10).collect()]
+    # unindexed form excludes the query vector itself; drop it here too
+    want = [(r["vec_id"], r["rank"]) for r in ann_lsh_topk(spark, SF, k=10).collect()]
+    got_ids = [v for v, _ in got if v != 0]
+    want_ids = [v for v, _ in want]
+    assert got_ids[: len(want_ids)] == want_ids[: len(got_ids)]
+
+
 def test_doc_fingerprint_shape(spark, mini_docs):
     from goskyr_spark.ops.textstats import doc_fingerprint
 
