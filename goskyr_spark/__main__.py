@@ -70,10 +70,15 @@ def cmd_crawl(args) -> int:
         pages = generate_pages(spark, spec).cache()
         robots = generate_robots(spark, spec)
     config_yaml = open(args.config).read() if args.config else spec.config_yaml()
+    transport = None
+    if args.http:
+        from .crawl.fetch import UrllibTransport
+
+        transport = UrllibTransport()
     run = CrawlRun(
         spark, args.warehouse, pages, config_yaml, robots=robots,
         bloom_spec=BloomSpec(), default_budget=args.budget,
-        follow_links=args.follow_links,
+        follow_links=args.follow_links, transport=transport,
     )
     seeds = args.seeds.split(",") if args.seeds else (spec.seed_urls() if spec else [])
     if run.resume_round() == 0:
@@ -118,6 +123,9 @@ def main(argv=None) -> int:
     pc.add_argument("--budget", type=int, default=32)
     pc.add_argument("--max-rounds", type=int, default=50)
     pc.add_argument("--follow-links", action="store_true")
+    pc.add_argument("--http", action="store_true",
+                    help="fetch over real HTTP (reference client semantics) instead "
+                         "of resolving against the pages table")
     pc.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)
