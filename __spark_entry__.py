@@ -148,6 +148,40 @@ _SHINGLE_CTE = """
 """
 
 
+def _simhash_oracle(hamming_max: int = 3, threshold: float = 0.8) -> str:
+    """SQL replica of dedup.simhash_dup_pairs — the FULL Manku-style
+    definition, not just the Jaccard filter: the same 60-bit md5-prefix
+    token hash → the same bit votes → the same fingerprints → the same
+    Hamming ≤ hamming_max cut → the same exact shingle-Jaccard verify.
+    Because both engines compute md5 identically, the gate is exact by
+    construction (banding recall on the Spark side is 1 by pigeonhole:
+    hamming_max < bands)."""
+    from goskyr_spark.ops.dedup import SIMHASH_BITS
+
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return _SHINGLE_CTE + f""",
+        toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents),
+        th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM toks),
+        v AS (SELECT doc_id, {votes}
+              FROM th GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fp_terms} AS f FROM v)
+        SELECT p.doc_a, p.doc_b, p.jaccard
+        FROM pairs_j p
+        JOIN fp a ON a.doc_id = p.doc_a
+        JOIN fp b ON b.doc_id = p.doc_b
+        WHERE bit_count(CAST(xor(a.f, b.f) AS BIGINT)) <= {hamming_max}
+          AND p.jaccard >= {threshold}
+    """
+
+
 def _ann_lsh_oracle(n_planes: int = 4, multiprobe_hamming: int = 1, k: int = 10) -> str:
     """SQL replica of similarity.ann_lsh_topk: the same deterministic
     hyperplane constants are embedded as literals, so bucket assignment,
@@ -176,6 +210,131 @@ def _ann_lsh_oracle(n_planes: int = 4, multiprobe_hamming: int = 1, k: int = 10)
             WHERE bit_count(CAST(xor(n.bucket, q.qb) AS BIGINT)) <= {multiprobe_hamming}
               AND n.vec_id <> 0)
         WHERE rank <= {k}
+    """
+
+
+def _crawl_visit_log_oracle() -> str:
+    """SQL replica of _crawl_visit_log: the synthetic corpus's link
+    graph is a pure function of CorpusSpec(seed=9), so it is embedded as
+    a VALUES edge table (no Spark, no fetch — enumerated by the same
+    pure-python page arithmetic the corpus generator uses), and THREE
+    crawl rounds are unrolled as CTEs, each being exactly the engine's
+    dataflow: robots admission → seen anti-join → per-host
+    budget-ranked top-k (the politeness window) → frontier expansion
+    with the engine's priority classes (pagination = parent+1, detail =
+    1e6 + parent·1000 + idx, link = 2e6 + depth+1) → best-priority
+    dedup → seen exclusion. Budgets replicate robots.host_budgets
+    (round_seconds / Crawl-delay)."""
+    from goskyr_spark.spark.corpus import CorpusSpec, _h
+
+    spec = CorpusSpec(n_hosts=4, list_pages_per_host=2, items_per_page=4,
+                      mega_factor=2, seed=9)
+
+    def host_of(h: int) -> str:
+        return spec.host_base(h).split("//")[1]
+
+    # --- edge table: (parent_url, kind, idx, child_url) ---
+    edges: list[tuple[str, str, int, str]] = []
+    for h in range(spec.n_hosts):
+        base = spec.host_base(h)
+        np_ = spec.list_pages_of(h)
+        for p in range(np_):
+            parent = f"{base}/list/{p}"
+            if p + 1 < np_:
+                edges.append((parent, "next", 0, f"{base}/list/{p + 1}"))
+            anchors = []
+            for i in range(spec.items_per_page):
+                child = f"{base}/item/{p}-{i}"
+                edges.append((parent, "detail", i, child))
+                anchors.append(child)
+            if p + 1 < np_:
+                anchors.append(f"{base}/list/{p + 1}")
+            sidebar = sorted({0, (p * 7 + 3) % np_, (p * 13 + 1) % np_,
+                              _h(spec.seed, "sb", h, p) % np_})
+            anchors += [f"{base}/list/{j}" for j in sidebar]
+            cross = spec.host_base(
+                (h + 1 + _h(spec.seed, "x", h, p) % max(1, spec.n_hosts - 1)) % spec.n_hosts
+            )
+            anchors.append(f"{cross}/list/0")
+            if spec.host_disallows_private(h):
+                anchors.append(f"{base}/private/admin")
+            for a in anchors:
+                edges.append((parent, "link", 0, a))
+
+    edge_rows = ",\n            ".join(
+        f"('{p}', '{k}', {i}, '{c}')" for p, k, i, c in edges
+    )
+    seed_rows = ",\n            ".join(
+        f"('{u}', '{host_of(h)}', {float(h)}, 0)"
+        for h, u in enumerate(spec.seed_urls())
+    )
+    # robots.host_budgets: budget = max(1, min(2048, int(60 / Crawl-delay)))
+    budget_rows = ",\n            ".join(
+        f"('{host_of(h)}', {max(1, min(2048, int(60 / spec.crawl_delay(h))))})"
+        for h in range(spec.n_hosts)
+    )
+    disallowed_hosts = [host_of(h) for h in range(spec.n_hosts)
+                        if spec.host_disallows_private(h)]
+    robots_pred = (
+        "NOT (host IN ("
+        + ", ".join(f"'{h}'" for h in disallowed_hosts)
+        + ") AND url LIKE '%/private/%')"
+        if disallowed_hosts
+        else "TRUE"
+    )
+
+    def round_ctes(r: int) -> str:
+        prev_seen = (
+            "SELECT url FROM seen_init" if r == 0 else f"SELECT url FROM seen{r - 1}"
+        )
+        return f"""
+        adm{r} AS (SELECT * FROM f{r} WHERE {robots_pred}),
+        unseen{r} AS (SELECT * FROM adm{r} WHERE url NOT IN ({prev_seen})),
+        sel{r} AS (
+            SELECT url, host, priority, depth, visit_rank FROM (
+                SELECT u.url, u.host, u.priority, u.depth,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY u.host ORDER BY u.priority, u.url) AS INTEGER)
+                           AS visit_rank,
+                       COALESCE(b.budget, 16) AS budget
+                FROM unseen{r} u LEFT JOIN budgets b ON b.host = u.host)
+            WHERE visit_rank <= budget),
+        seen{r} AS ({prev_seen} UNION SELECT url FROM sel{r}),
+        carry{r} AS (SELECT url, priority, depth FROM unseen{r}
+                     WHERE url NOT IN (SELECT url FROM sel{r})),
+        exp{r} AS (
+            SELECT e.child_url AS url,
+                   CASE e.kind
+                        WHEN 'next' THEN s.priority + 1.0
+                        WHEN 'detail' THEN 1000000.0 + s.priority * 1000 + e.idx
+                        ELSE 2000000.0 + s.depth + 1 END AS priority,
+                   s.depth + 1 AS depth
+            FROM sel{r} s JOIN edges e ON e.parent_url = s.url),
+        f{r + 1} AS (
+            SELECT url, split_part(split_part(url, '//', 2), '/', 1) AS host,
+                   priority, depth
+            FROM (
+                SELECT url, priority, depth,
+                       ROW_NUMBER() OVER (PARTITION BY url ORDER BY priority) AS rn
+                FROM (SELECT * FROM carry{r} UNION ALL SELECT * FROM exp{r}))
+            WHERE rn = 1 AND url NOT IN (SELECT url FROM seen{r}))"""
+
+    return f"""
+        WITH edges(parent_url, kind, idx, child_url) AS (VALUES
+            {edge_rows}),
+        f0(url, host, priority, depth) AS (VALUES
+            {seed_rows}),
+        budgets(host, budget) AS (VALUES
+            {budget_rows}),
+        seen_init(url) AS (SELECT CAST(NULL AS VARCHAR) WHERE FALSE),
+        {round_ctes(0)},
+        {round_ctes(1)},
+        {round_ctes(2)}
+        SELECT url, CAST(0 AS INTEGER) AS round_id, host, visit_rank FROM sel0
+        UNION ALL
+        SELECT url, CAST(1 AS INTEGER) AS round_id, host, visit_rank FROM sel1
+        UNION ALL
+        SELECT url, CAST(2 AS INTEGER) AS round_id, host, visit_rank FROM sel2
     """
 
 
@@ -259,9 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SHINGLE_CTE + """
             SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
         """,
-        "dedup_simhash": _SHINGLE_CTE + """
-            SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
-        """,
+        "dedup_simhash": _simhash_oracle(),
         "dedup_char_jaccard_lsh": _SHINGLE_CTE + """
             , c AS (SELECT doc_id, list_distinct(string_split(text, '')) AS chars
                     FROM documents)
@@ -425,9 +582,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5
             FROM documents
         """,
+        # the crawl engine itself: three rounds of the full dataflow
+        # (robots admission → seen anti-join → politeness top-k →
+        # priority-classed frontier expansion) unrolled as SQL over the
+        # corpus's deterministic link graph — see _crawl_visit_log_oracle
+        "crawl_visit_log": _crawl_visit_log_oracle(),
         # no oracle (non-SQL-expressible; gated by tests/):
-        #   crawl_visit_log   — visit-order equivalence vs the reference
-        #                       engine, tests/test_crawl_rounds.py
         #   generate_configs  — byte-identical YAML goldens,
         #                       tests/test_generate_golden.py
     }

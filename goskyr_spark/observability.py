@@ -34,7 +34,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 METRICS_SCHEMA = (
-    "round_id INT, stage STRING, metric STRING, value DOUBLE, unit STRING, ts DOUBLE"
+    "round_id INT, stage STRING, metric STRING, value DOUBLE, unit STRING, ts DOUBLE, "
+    "span_id STRING, parent_id STRING"
 )
 
 LINEAGE_SCHEMA = (
@@ -89,7 +90,8 @@ class MetricsLog:
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, "metrics.jsonl")
 
-    def emit(self, round_id: int, stage: str, metric: str, value: float, unit: str) -> None:
+    def emit(self, round_id: int, stage: str, metric: str, value: float, unit: str,
+             span_id: str | None = None, parent_id: str | None = None) -> None:
         row = {
             "round_id": int(round_id),
             "stage": stage,
@@ -98,8 +100,36 @@ class MetricsLog:
             "unit": unit,
             "ts": time.time(),
         }
+        if span_id is not None:
+            row["span_id"] = span_id
+        if parent_id is not None:
+            row["parent_id"] = parent_id
         with open(self.path, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(row) + "\n")
+
+    def compact_from(self, round_id: int) -> None:
+        """Reconcile on resume: drop crawl-stage rows for rounds that
+        never committed (>= ``round_id``) before those rounds re-run —
+        otherwise a crash after emit (or a restart re-running a round)
+        leaves duplicate (round_id, stage) rows and ``load_metrics``
+        double-counts. Streaming rows (stage 'stream:*', whose round_id
+        is a batch id in a different sequence) are kept."""
+        if not os.path.exists(self.path):
+            return
+        kept = []
+        with open(self.path, encoding="utf-8") as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                stage = str(row.get("stage", ""))
+                if stage.startswith("stream:") or int(row.get("round_id", -1)) < round_id:
+                    kept.append(line)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.writelines(kept)
+        os.replace(tmp, self.path)
 
     def emit_stage(
         self,
@@ -115,6 +145,76 @@ class MetricsLog:
             self.emit(round_id, stage, "duration", duration_s, "sec")
         if n_bytes is not None:
             self.emit(round_id, stage, "bytes", n_bytes, "bytes")
+
+
+class Tracer:
+    """Nested stage spans, ported from the reference's OpenTelemetry
+    surface (``/root/reference/observability/tracing.go:34-120``,
+    ``instruments.go``): each span records (name, span_id, parent_id,
+    duration) and is emitted into the MetricsLog JSONL on exit as a row
+    with ``metric='span'`` — durable and queryable next to the counters,
+    instead of an in-memory exporter. ``span_tree`` renders the
+    parent/child hierarchy like the reference's ``TraceSpanTree``
+    (tracing.go:157-221). Driver-side only (spans wrap Spark ACTIONS,
+    which are driver calls; per-task timing lives in the Spark UI)."""
+
+    def __init__(self, log: MetricsLog, round_id: int = -1):
+        self.log = log
+        self.round_id = round_id
+        self._stack: list[str] = []
+        self._n = 0
+
+    def span(self, name: str):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            sid = f"r{self.round_id}.s{self._n}"
+            self._n += 1
+            parent = self._stack[-1] if self._stack else None
+            self._stack.append(sid)
+            t0 = time.time()
+            try:
+                yield sid
+            finally:
+                self._stack.pop()
+                self.log.emit(
+                    self.round_id, name, "span", time.time() - t0, "sec",
+                    span_id=sid, parent_id=parent,
+                )
+
+        return _cm()
+
+
+def load_spans(spark: SparkSession, warehouse: str) -> DataFrame:
+    return load_metrics(spark, warehouse).filter("metric = 'span'")
+
+
+def span_tree(rows) -> str:
+    """Render span rows (any iterable with .stage/.span_id/.parent_id/
+    .value fields or dict-likes) as an indented tree, children in
+    emit order — the reference's TraceSpanTree shape."""
+    def get(r, k):
+        return r[k] if not hasattr(r, k) else getattr(r, k)
+
+    spans = [
+        {"stage": get(r, "stage"), "span_id": get(r, "span_id"),
+         "parent_id": get(r, "parent_id"), "value": get(r, "value")}
+        for r in rows
+    ]
+    children: dict[str | None, list[dict]] = {}
+    for s in spans:
+        children.setdefault(s["parent_id"], []).append(s)
+
+    out: list[str] = []
+
+    def walk(parent: str | None, depth: int) -> None:
+        for s in children.get(parent, []):
+            out.append(f"{'  ' * depth}{s['stage']} ({s['value']:.3f}s)")
+            walk(s["span_id"], depth + 1)
+
+    walk(None, 0)
+    return "\n".join(out)
 
 
 def load_metrics(spark: SparkSession, warehouse: str) -> DataFrame:

@@ -2,24 +2,48 @@
 pipeline operators alongside the crawl (a web-scale crawl's output IS a
 training corpus; dedup is the first thing run on it).
 
-Architecture (round-2): every near-dup operator is CANDIDATES → VERIFY.
+Architecture (round-3): every near-dup operator is CANDIDATES → VERIFY.
 Candidate generation is always bounded (LSH banding / posting-list
 join with a document-frequency cap) — never an unblocked self-join —
 and the exact similarity (shingle Jaccard, char Jaccard, cosine) is
 computed only on the candidate residue. That is the 100-TB shape: the
 shuffle volume is linear in corpus size (banding) and the quadratic
-work is confined to the tiny candidate set. It is also what makes the
-operators ORACLE-CHECKABLE: the verified output equals the all-pairs
-exact-similarity result whenever banding recall is 1, which DuckDB can
-compute directly (the driver's CORRECTNESS gate does exactly this at
-sf0.01, where recall is 1 by measurement: P(miss | J≥0.8) ≈ 2e-4 per
-pair with 16 bands × 4 rows, and 0 of the 25 true pairs are missed).
+work is confined to the tiny candidate set.
+
+Round-3 changes (VERDICT r2 items #1 and #4):
+
+* SimHash now implements the textbook Manku-et-al semantic — "pairs
+  within Hamming distance ``hamming_max`` of each other, exact-verified
+  with shingle Jaccard" — with banding whose recall is 1 BY PIGEONHOLE
+  (hamming_max < bands), not by measurement. The token hash is a 60-bit
+  md5 prefix that DuckDB computes identically, so the driver oracle
+  replicates the FULL definition (fingerprint + Hamming + Jaccard) and
+  the gate is exact-by-construction. The old 8-bit bands admitted
+  ~N²/diversity candidates (measured 102 per doc at sf0.01, 1024 per
+  doc at sf0.1); 15-bit bands admit ~5/doc and ~46/doc respectively —
+  linear-in-N candidate volume (gated in tests/test_plans.py).
+* Embedding sign-LSH bands widened from 4 to 8 bits (n_planes 24→48):
+  a random pair now collides on some band with p ≈ 6/256 ≈ 2.3 %
+  instead of ≈ 37 %, while exact-copy dups (the 0.99-cosine regime)
+  still share every band.
+* The shingle table and simhash fingerprint table are MATERIALIZED
+  once per corpus (write-once parquet intermediates, reused by every
+  dedup query in the session) — previously minhash/simhash/char-LSH
+  each re-derived shingles from raw text, and simhash persist()ed a
+  DataFrame it never unpersisted. At 100 TB these are corpus-adjacent
+  tables written by the pipeline, exactly like this.
+* ``ngram_jaccard_pairs`` takes its document-frequency cap from the
+  parquet FOOTER row count (metadata read, no job) instead of a
+  full-scan ``count()`` per invocation.
 
 All similarity math stays JVM-side (built-in functions over exploded
 arrays); the only Python is dataframe assembly.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +59,22 @@ MERSENNE_P = (1 << 61) - 1
 PLANT_N = 25
 PLANT_OFFSET = 1_000_000
 
+# SimHash geometry: 60-bit fingerprints (a 15-hex-char md5 prefix is the
+# widest hash BOTH Spark and DuckDB compute bit-identically without
+# bigint overflow), cut into SIMHASH_BLOCKS blocks of SIMHASH_WIDTH
+# bits. Candidate keys are every SIMHASH_KEY_BLOCKS-sized combination of
+# blocks (Manku et al., WWW'07 §3 — the multi-index scheme): a pair
+# within Hamming distance d ≤ SIMHASH_BLOCKS − SIMHASH_KEY_BLOCKS
+# differs in at most d blocks, so some SIMHASH_KEY_BLOCKS blocks are
+# clean and the pair shares that combination key — recall 1 by
+# pigeonhole. Key width = KEY_BLOCKS × WIDTH bits (30 by default), so
+# random-pair key collisions scale as C(B,k)·N²/2^30 — at 10⁹ docs that
+# is ~20 candidates/doc, where single 15-bit bands would be ~10⁵/doc.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 6
+SIMHASH_KEY_BLOCKS = 3
+SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BLOCKS
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -46,6 +86,86 @@ def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)
     )
     return docs.unionByName(copies)
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footers (file or directory) — metadata
+    only, no Spark job. None if unreadable."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
+
+
+# ------------------------------------------- materialized intermediates
+
+# (kind, corpus-path, params…) → parquet path. Write-once per session:
+# the shingle and fingerprint tables are shared by every dedup operator
+# over the same corpus — the 100-TB pipeline materializes them as real
+# corpus-adjacent tables for exactly this reason (VERDICT r2 #4: the
+# dedup suite previously recomputed shingles from raw text per query).
+_INTERMEDIATE_CACHE: dict[tuple, str] = {}
+
+
+def _materialized(spark: SparkSession, key: tuple, build) -> DataFrame:
+    path = _INTERMEDIATE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="goskyr_dedup_"), "data")
+        build().write.mode("overwrite").parquet(path)
+        _INTERMEDIATE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<long>) — distinct word-k-gram xxhash64
+    per doc. Hash identity stands in for string identity (64-bit
+    collisions are negligible below ~2^32 distinct grams; the DuckDB
+    oracle uses the strings directly and agrees)."""
+    words = F.split(F.trim("text"), "\\s+")
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+            lambda g: F.size(F.split(g, " ")) >= k,
+        )
+    )
+    return docs.select(
+        "doc_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("shingles")
+    )
+
+
+def shingle_table(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """The materialized (doc_id, shingles) table for a corpus — built
+    once per session, reused by minhash/simhash/char-LSH/ngram."""
+    key = ("shingles", os.path.abspath(sf_dir), k)
+    return _materialized(spark, key, lambda: _shingle_arrays(_docs(spark, sf_dir), k))
+
+
+def _verify_exact_jaccard(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """pairs(doc_a, doc_b) → + exact shingle Jaccard, filtered ≥
+    threshold. Runs only on the candidate residue (two hash joins
+    against the shingle table), never all-pairs."""
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -70,43 +190,6 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo entry on the planted corpus (see PLANT_N) so the oracle row
     is non-vacuous: exactly PLANT_N duplicate groups must come back."""
     return exact_dedup_groups(_docs_planted(spark, sf_dir))
-
-
-# ------------------------------------------------------ shingle helpers
-
-def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles: array<long>) — distinct word-k-gram xxhash64
-    per doc. Hash identity stands in for string identity (64-bit
-    collisions are negligible below ~2^32 distinct grams; the DuckDB
-    oracle uses the strings directly and agrees)."""
-    words = F.split(F.trim("text"), "\\s+")
-    grams = F.array_distinct(
-        F.filter(
-            F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-            lambda g: F.size(F.split(g, " ")) >= k,
-        )
-    )
-    return docs.select(
-        "doc_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("shingles")
-    )
-
-
-def _verify_exact_jaccard(
-    pairs: DataFrame, shingles: DataFrame, threshold: float
-) -> DataFrame:
-    """pairs(doc_a, doc_b) → + exact shingle Jaccard, filtered ≥
-    threshold. Runs only on the candidate residue (two hash joins
-    against the shingle table), never all-pairs."""
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-    )
 
 
 # ---------------------------------------------------------------- char
@@ -151,8 +234,8 @@ def char_jaccard_lsh_pairs(
     Output equals the all-pairs (shingle-J, char-J) filter whenever
     banding recall is 1 — which the DuckDB oracle checks."""
     docs = _docs(spark, sf_dir)
-    shingles = _shingle_arrays(docs)
-    cand = minhash_band_candidates(docs)
+    shingles = shingle_table(spark, sf_dir)
+    cand = minhash_band_candidates(spark, sf_dir)
     verified = _verify_exact_jaccard(cand, shingles, jaccard_threshold)
     chars = docs.select("doc_id", F.array_distinct(F.split("text", "")).alias("chars"))
     ca = chars.select(F.col("doc_id").alias("doc_a"), F.col("chars").alias("ch_a"))
@@ -177,32 +260,41 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs via inverted index — NOT a self
-    join: explode n-grams, hash them, self-join the (gram → doc) posting
-    list, count shared grams per pair, then Jaccard from
-    |A∩B| / (|A|+|B|−|A∩B|). Shuffles are keyed on gram hash and the
-    (doc_a, doc_b) pair — linear in corpus n-gram volume, not quadratic
-    in documents.
+    join: explode n-grams (from the materialized shingle table when
+    n == 3), self-join the (gram → doc) posting list, count shared grams
+    per pair, then Jaccard from |A∩B| / (|A|+|B|−|A∩B|). Shuffles are
+    keyed on gram hash and the (doc_a, doc_b) pair — linear in corpus
+    n-gram volume, not quadratic in documents.
 
     Hot grams (stopword runs) are the skew risk at scale: grams with
     document frequency above ``df_cap`` are dropped from the posting
     list BEFORE the pair join. The cap is derived from the corpus size
-    (max(50, 1% of docs)) unless passed explicitly, and the per-doc
-    sizes |A|,|B| are computed over the SAME capped posting list, so
-    the reported jaccard is the exact Jaccard of the capped gram
-    universe (unbiased w.r.t. the metric it claims)."""
-    docs = _docs(spark, sf_dir)
+    (max(50, 1% of docs)) unless passed explicitly; the corpus row count
+    comes from the parquet FOOTER (metadata read — at 100 TB a count()
+    job before every run would be a full scan; table stats are free).
+    The per-doc sizes |A|,|B| are computed over the SAME capped posting
+    list, so the reported jaccard is the exact Jaccard of the capped
+    gram universe (unbiased w.r.t. the metric it claims)."""
     if df_cap is None:
-        df_cap = max(50, int(0.01 * docs.count()))
-    words = F.split(F.trim("text"), "\\s+")
-    grams = F.array_distinct(
-        F.filter(
-            F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, n))),
-            lambda g: F.size(F.split(g, " ")) >= n,
+        rows = _parquet_rows(f"{sf_dir}/documents.parquet")
+        if rows is None:
+            rows = _docs(spark, sf_dir).count()
+        df_cap = max(50, int(0.01 * rows))
+    if n == 3:
+        sh = shingle_table(spark, sf_dir, k=3)
+        posting = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    else:
+        docs = _docs(spark, sf_dir)
+        words = F.split(F.trim("text"), "\\s+")
+        grams = F.array_distinct(
+            F.filter(
+                F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+                lambda g: F.size(F.split(g, " ")) >= n,
+            )
         )
-    )
-    posting = docs.select(
-        "doc_id", F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("gram")
-    )
+        posting = docs.select(
+            "doc_id", F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("gram")
+        )
     keep = posting.groupBy("gram").count().filter(F.col("count") <= df_cap).select("gram")
     posting = posting.join(keep, "gram", "left_semi")
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -224,28 +316,23 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- minhash
 
-def minhash_signatures(docs: DataFrame, n_perm: int = 64, shingle_k: int = 3, seed: int = 13) -> DataFrame:
-    """MinHash signatures: shingle → xxhash64 → n_perm universal-hash
-    permutations ((a·h + b) mod p) → per-doc min of each. All built-ins:
-    explode + groupBy(doc).agg(64 × min). One shuffle on doc_id with full
-    map-side partial aggregation (each of the 64 mins combines locally)."""
+def minhash_signatures_from_shingles(
+    shingles: DataFrame, n_perm: int = 64, seed: int = 13
+) -> DataFrame:
+    """MinHash signatures from a (doc_id, shingles) table: explode →
+    n_perm universal-hash permutations ((a·h + b) mod p) → per-doc min
+    of each. All built-ins: one shuffle on doc_id with full map-side
+    partial aggregation (each of the 64 mins combines locally)."""
     import random
 
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31)) for _ in range(n_perm)]
 
-    words = F.split(F.trim("text"), "\\s+")
-    shingles = F.array_distinct(
-        F.filter(
-            F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, shingle_k))),
-            lambda g: F.size(F.split(g, " ")) >= shingle_k,
-        )
-    )
     # h is reduced to 31 bits and a,b < 2^31 so a·h+b < 2^62 — no long
     # overflow (Spark 4 runs ANSI mode; overflow would throw).
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle")).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)).alias("h")
-    )
+    sh = shingles.select(
+        "doc_id", F.explode("shingles").alias("sh64")
+    ).select("doc_id", F.pmod(F.col("sh64"), F.lit(1 << 31)).alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -253,34 +340,48 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 64, shingle_k: int = 3, se
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_candidates(
-    docs: DataFrame, n_perm: int = 64, bands: int = 16, shingle_k: int = 3
-) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
-    bucket. Signature is array-packed (keeps whole-stage codegen
-    compilation linear in n_perm) and banded via ``stack`` → ONE
-    groupBy-join keyed on (band_idx, band_hash) — fan-out bounded by
-    bucket sizes, never an unblocked self-join."""
+def minhash_signatures(docs: DataFrame, n_perm: int = 64, shingle_k: int = 3, seed: int = 13) -> DataFrame:
+    """MinHash signatures straight from a docs table (no materialized
+    shingle reuse — the corpus-keyed entry points below prefer
+    ``shingle_table`` + ``minhash_signatures_from_shingles``)."""
+    return minhash_signatures_from_shingles(_shingle_arrays(docs, shingle_k), n_perm, seed)
+
+
+def _band_candidate_pairs(sig: DataFrame, id_col: str, n_perm: int, bands: int) -> DataFrame:
+    """(id, sig: array) → candidate pairs (a < b) sharing ≥1 LSH band
+    bucket: band values via ``stack`` → ONE groupBy-join keyed on
+    (band_idx, band_hash) — fan-out bounded by bucket sizes, never an
+    unblocked self-join."""
     rows_per_band = n_perm // bands
-    sig = minhash_signatures(docs, n_perm, shingle_k).select(
-        "doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig")
-    )
     band_cols = [
         F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
+    banded = sig.select(id_col, *band_cols)
     stack_expr = "stack({}, {}) as (band_idx, band_hash)".format(
         bands, ", ".join(f"{b}, band{b}" for b in range(bands))
     )
-    long = banded.select("doc_id", F.expr(stack_expr))
+    long = banded.select(id_col, F.expr(stack_expr))
     return (
         long.alias("x")
         .join(long.alias("y"), ["band_idx", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_band_candidates(
+    spark: SparkSession, sf_dir: str, n_perm: int = 64, bands: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) sharing at least one LSH band
+    bucket, built from the materialized shingle table. Signature is
+    array-packed (keeps whole-stage codegen compilation linear in
+    n_perm)."""
+    sig = minhash_signatures_from_shingles(
+        shingle_table(spark, sf_dir, shingle_k), n_perm
+    ).select("doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig"))
+    return _band_candidate_pairs(sig, "doc_id", n_perm, bands)
 
 
 def minhash_est_pairs(
@@ -293,30 +394,17 @@ def minhash_est_pairs(
 ) -> DataFrame:
     """MinHash + LSH with ESTIMATED Jaccard (fraction of matching
     signature components) — the cheap screening form; estimator accuracy
-    is unit-tested against exact Jaccard (tests/test_ops.py)."""
-    docs = _docs(spark, sf_dir)
-    rows_per_band = n_perm // bands
-    sig = (
-        minhash_signatures(docs, n_perm, shingle_k)
-        .select("doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig"))
-        .persist()
+    is unit-tested against exact Jaccard (tests/test_ops.py). The
+    signature table is materialized once (write-once parquet, no
+    persist-leak) — it feeds both the banding and the estimator join."""
+    key = ("minhash_sig", os.path.abspath(sf_dir), n_perm, shingle_k)
+    sig = _materialized(
+        spark, key,
+        lambda: minhash_signatures_from_shingles(
+            shingle_table(spark, sf_dir, shingle_k), n_perm
+        ).select("doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig")),
     )
-    band_cols = [
-        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stack_expr = "stack({}, {}) as (band_idx, band_hash)".format(
-        bands, ", ".join(f"{b}, band{b}" for b in range(bands))
-    )
-    long = banded.select("doc_id", F.expr(stack_expr))
-    pairs = (
-        long.alias("x")
-        .join(long.alias("y"), ["band_idx", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = _band_candidate_pairs(sig, "doc_id", n_perm, bands)
     siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = F.size(
@@ -347,80 +435,134 @@ def minhash_lsh_pairs(
     verification = quadratic only within candidates), and its output is
     oracle-checkable: equals DuckDB's all-pairs exact Jaccard filter
     when recall is 1 (measured 25/25 on the sf0.01 corpus)."""
-    docs = _docs(spark, sf_dir)
-    cand = minhash_band_candidates(docs, n_perm, bands, shingle_k)
-    verified = _verify_exact_jaccard(cand, _shingle_arrays(docs, shingle_k), threshold)
+    cand = minhash_band_candidates(spark, sf_dir, n_perm, bands, shingle_k)
+    verified = _verify_exact_jaccard(
+        cand, shingle_table(spark, sf_dir, shingle_k), threshold
+    )
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # ------------------------------------------------------------- simhash
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: token → xxhash64; each bit position
-    votes ±1 weighted by token frequency; fingerprint bit b = sign of the
-    vote sum. Pure built-ins: explode tokens → 64 conditional sums →
-    bit-OR assembly."""
-    docs = _docs(spark, sf_dir)
+def _md5_60(col) -> F.Column:
+    """60-bit token hash = first 15 hex chars of md5, as a BIGINT —
+    bit-identical in Spark (conv + cast) and DuckDB
+    (CAST('0x'||substr(md5(x),1,15) AS BIGINT)), which is what makes the
+    whole simhash pipeline oracle-replicable. Production swap: xxhash64
+    (faster, JVM-native) — same architecture, no oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: token → md5-60 hash; each bit
+    position votes ±1 weighted by token frequency; fingerprint bit b =
+    sign of the vote sum. Pure built-ins: explode tokens → 60
+    conditional sums → shifted-bit assembly."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", _md5_60(F.col("tok")).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     v = toks.groupBy("doc_id").agg(*votes)
     fp = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return v.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_dup_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    bands: int = 8,
-    threshold: float = 0.8,
-    hamming_max: int = 16,
-) -> DataFrame:
-    """SimHash near-dup pairs: the 64-bit fingerprint is cut into
-    ``bands`` 8-bit bands (pigeonhole: any pair within Hamming distance
-    < bands shares at least one exact band) → candidate pairs sharing a
-    band value → CHEAP Hamming prune (bit_count(xor) ≤ hamming_max on
-    the two 8-byte fingerprints — JVM-side, before any array join) →
-    EXACT shingle-Jaccard verification ≥ threshold on the survivors.
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, simhash) table — built once per corpus per
+    session; both the banding and the Hamming-verify join read it (the
+    round-2 form persist()ed and leaked instead)."""
+    key = ("simhash", os.path.abspath(sf_dir))
+    return _materialized(spark, key, lambda: _simhash_fingerprints(_docs(spark, sf_dir)))
 
-    The Hamming prune matters because same-distribution corpora
-    correlate simhash bits: banding alone admits ~N²/corpus-diversity
-    candidates (measured 67k candidates for 500 synthetic docs), and
-    joining shingle arrays onto all of them dominated the runtime. Any
-    pair with shingle-J ≥ 0.8 sits far inside Hamming ≤ 16 of 64 (the
-    planted/natural near-dups here measure ≤ 8), so the prune cannot
-    drop a true pair while cutting the expensive join ~50×."""
-    docs = _docs(spark, sf_dir)
-    fp = simhash_fingerprints(spark, sf_dir).persist()
-    width = 64 // bands
-    band_cols = [
+
+def simhash_band_candidates(
+    fp: DataFrame,
+    blocks: int = SIMHASH_BLOCKS,
+    key_blocks: int = SIMHASH_KEY_BLOCKS,
+) -> DataFrame:
+    """Candidate pairs sharing >=1 combination key (Manku multi-index):
+    the 60-bit fingerprint splits into ``blocks`` equal blocks; each doc
+    emits one key per ``key_blocks``-sized block combination (the packed
+    block values). Pigeonhole: a pair within Hamming distance
+    ``blocks - key_blocks`` differs in at most that many blocks, so some
+    ``key_blocks`` blocks are clean and the pair shares that combination
+    key -- recall 1 for that radius BY CONSTRUCTION. Key diversity is
+    2^(key_blocks*width) (2^30 at the defaults), so random-pair
+    candidate volume is ~C(blocks,key_blocks)*N^2/2^30 -- negligible
+    until N ~ 10^9, where it is ~20/doc (the r2 form's single 8-bit
+    bands admitted ~N^2/diversity: measured 102/doc at 500 docs,
+    1024/doc at 5000)."""
+    from itertools import combinations
+
+    width = SIMHASH_BITS // blocks
+    block_vals = [
         F.shiftrightunsigned(F.col("simhash"), b * width)
         .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"band{b}")
-        for b in range(bands)
+        for b in range(blocks)
     ]
-    banded = fp.select("doc_id", *band_cols)
-    stack_expr = "stack({}, {}) as (band_idx, band_val)".format(
-        bands, ", ".join(f"{b}, band{b}" for b in range(bands))
+    combos = list(combinations(range(blocks), key_blocks))
+    key_cols = []
+    for i, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for pos, b in enumerate(combo):
+            key = key + F.shiftleft(block_vals[b], pos * width)
+        key_cols.append(key.alias(f"k{i}"))
+    keyed = fp.select("doc_id", *key_cols)
+    stack_expr = "stack({}, {}) as (key_idx, key_val)".format(
+        len(combos), ", ".join(f"{i}, k{i}" for i in range(len(combos)))
     )
-    long = banded.select("doc_id", F.expr(stack_expr))
-    cand = (
+    long = keyed.select("doc_id", F.expr(stack_expr))
+    return (
         long.alias("x")
-        .join(long.alias("y"), ["band_idx", "band_val"])
+        .join(long.alias("y"), ["key_idx", "key_val"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def simhash_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    blocks: int = SIMHASH_BLOCKS,
+    key_blocks: int = SIMHASH_KEY_BLOCKS,
+    threshold: float = 0.8,
+    hamming_max: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs, Manku-et-al semantic: pairs whose 60-bit
+    fingerprints are within Hamming distance ``hamming_max`` (default
+    blocks - key_blocks) AND whose exact shingle Jaccard >= ``threshold``.
+
+    The Hamming radius is part of the OPERATOR CONTRACT, not a recall
+    compromise: the combination-key index has recall 1 for
+    ``hamming_max <= blocks - key_blocks`` by pigeonhole, the Hamming
+    filter and the Jaccard verification both run only on the candidate
+    residue, and the DuckDB oracle recomputes the identical definition
+    end-to-end (same md5-60 token hash -> same fingerprints -> same
+    Hamming cut -> same Jaccard) -- the gate is exact, not
+    recall-dependent. This is the production simhash shape (Manku et
+    al., WWW'07 used Hamming <= 3 on 64-bit fingerprints for 8B pages);
+    pairs that are J-similar but Hamming-far belong to
+    ``minhash_lsh_pairs``, whose S-curve targets the Jaccard metric
+    directly."""
+    if hamming_max is None:
+        hamming_max = blocks - key_blocks
+    if hamming_max > blocks - key_blocks:
+        raise ValueError(
+            f"recall-1 guarantee needs hamming_max <= blocks - key_blocks "
+            f"(got hamming_max={hamming_max}, blocks={blocks}, key_blocks={key_blocks})"
+        )
+    fp = simhash_fingerprints(spark, sf_dir)
+    cand = simhash_band_candidates(fp, blocks, key_blocks)
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
     pruned = (
@@ -429,7 +571,7 @@ def simhash_dup_pairs(
         .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= hamming_max)
         .select("doc_a", "doc_b")
     )
-    verified = _verify_exact_jaccard(pruned, _shingle_arrays(docs), threshold)
+    verified = _verify_exact_jaccard(pruned, shingle_table(spark, sf_dir), threshold)
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
@@ -439,20 +581,22 @@ def embedding_cosine_dups(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.99,
-    n_planes: int = 24,
+    n_planes: int = 48,
     bands: int = 6,
     plant: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, banded sign-LSH: ``n_planes``
-    hyperplane sign bits are cut into ``bands`` bands (4 bits each by
+    hyperplane sign bits are cut into ``bands`` bands (8 bits each by
     default); candidate pairs share at least one band value; cosine is
-    computed (in double) only on the candidate residue. Banding bounds
-    the within-bucket quadratic blowup that a single coarse bucket
-    would have (the round-1 form used 4 planes = 16 buckets ⇒ ~N²/16
-    pairs; 6 bands of 4 keeps P(candidate | cos≥0.99) ≈ 1-2e-5 while
-    random pairs collide on a band with p ≈ 6/16 at 4 bits — at scale
-    raise n_planes with corpus size, e.g. 64 planes / 8 bands at 10⁹
-    vectors, and the band value becomes the table partition key).
+    computed (in double) only on the candidate residue.
+
+    Band width is the scale lever (VERDICT r2 #2): at 4-bit bands a
+    RANDOM pair collided on some band with p ≈ 6/16 ≈ 37 % — near-all-
+    pairs. At 8-bit bands p ≈ 6/256 ≈ 2.3 %, while a cos ≥ 0.99 pair
+    (≈8° apart; per-plane flip p ≈ 0.045) still shares a clean band with
+    p ≈ 1 − (1−0.955⁸)⁶ ≈ 0.999, and exact copies share every band.
+    At 10⁹ vectors raise n_planes again (e.g. 96/8) and make the band
+    value the table partition key.
 
     ``plant=True`` unions exact copies of vec_id < PLANT_N so the
     result (and its DuckDB all-pairs oracle) is non-vacuous — the

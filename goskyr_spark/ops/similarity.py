@@ -72,11 +72,13 @@ def hyperplane_bucket(vec: Column, n_planes: int = 4, seed: int = PLANE_SEED, di
 
 
 def hyperplane_band_values(
-    vec: Column, n_planes: int = 24, bands: int = 6, seed: int = PLANE_SEED, dim: int = 64
+    vec: Column, n_planes: int = 48, bands: int = 6, seed: int = PLANE_SEED, dim: int = 64
 ) -> list[Column]:
     """``bands`` band values, each packing n_planes/bands sign bits into
     one int — the banded form used by embedding near-dup candidate
-    generation (any shared band ⇒ candidate)."""
+    generation (any shared band ⇒ candidate). 8-bit bands by default:
+    a random pair collides on some band with p ≈ bands/256, vs ≈ 37 %
+    at the old 4-bit width (VERDICT r2 #2)."""
     width = n_planes // bands
     bits = hyperplane_bits(vec, n_planes, dim, seed)
     out = []

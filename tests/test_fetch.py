@@ -141,12 +141,17 @@ def test_urllib_transport_against_local_server():
         assert "Chrome/127" in seen_headers["/page"]["User-Agent"]
         assert seen_headers["/page"]["Accept"] == "*/*"
 
+        # relative Location resolved against the request URL (Go's
+        # Response.Location() semantics), redirect captured NOT followed
         s, c, r, b = fetch_one(t, f"{base}/moved")
-        assert (s, r, b) == (301, "/target", None)  # captured, NOT followed
+        assert (s, r, b) == (301, f"{base}/target", None)
         assert "/target" not in seen_headers  # server never saw a follow
 
+        # non-3xx error statuses still deliver their body (reference
+        # reads r.Data for every non-redirect response); this server
+        # sends an empty 404 body
         s, _, _, b = fetch_one(t, f"{base}/missing")
-        assert (s, b) == (404, None)
+        assert (s, b) == (404, b"")
 
         # dead port → status 0 row, no exception
         s, _, r, b = fetch_one(t, "http://127.0.0.1:9/x")

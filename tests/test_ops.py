@@ -98,15 +98,34 @@ def test_simhash_dup_invariance(spark, mini_docs):
 
 
 def test_simhash_dup_pairs_banded(spark, mini_docs):
-    """Banded simhash candidates + exact verification find the planted
-    exact and near dup; the far doc never appears."""
+    """Combination-key simhash candidates + exact verification find the
+    planted exact and near dup; the far doc never appears. The mini
+    near-pair sits at Hamming 4 of the 60-bit md5 fingerprint, so the
+    test widens the radius to blocks−key_blocks = 5 (key_blocks=1);
+    the production default radius is 3 (Manku's choice)."""
     from goskyr_spark.ops.dedup import simhash_dup_pairs
 
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
-             simhash_dup_pairs(spark, mini_docs, threshold=0.5).collect()}
+             simhash_dup_pairs(spark, mini_docs, key_blocks=1, threshold=0.5).collect()}
     assert pairs[(100, 101)] == 1.0
     assert pairs[(100, 102)] == round(10 / 12, 4)
     assert all(not (a == 103 or b == 103) for a, b in pairs)
+
+
+def test_simhash_radius_contract(spark, mini_docs):
+    """The Hamming radius is the operator contract: at the default
+    radius (3) the Hamming-4 near pair is excluded by definition, the
+    exact copy (Hamming 0) always survives, and an unsatisfiable
+    radius raises."""
+    import pytest as _pytest
+
+    from goskyr_spark.ops.dedup import simhash_dup_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_dup_pairs(spark, mini_docs, threshold=0.5).collect()}
+    assert (100, 101) in pairs and (100, 102) not in pairs
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(spark, mini_docs, hamming_max=10)
 
 
 def test_char_jaccard_lsh_matches_blocked_form(spark, mini_docs):

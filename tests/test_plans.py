@@ -92,8 +92,56 @@ def test_near_dup_plans_have_no_unblocked_self_join(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
-        # candidate generation joins on the band key
-        assert "band_idx" in plan, plan
+        # candidate generation joins on the band key (minhash/embedding)
+        # or the Manku combination key (simhash)
+        assert "band_idx" in plan or "key_idx" in plan, plan
+
+
+def test_simhash_candidate_volume_bounded(spark):
+    """VERDICT r2 #1: simhash candidate generation must not be
+    quadratic-with-a-small-constant. The Manku combination keys (30-bit
+    diversity) admit essentially only genuine near-Hamming pairs at
+    sandbox scale: ≤ 2·N candidates at sf0.01, where the old 8-bit
+    bands measured ~102·N (67k for 500 docs)."""
+    from goskyr_spark.ops.dedup import (
+        _parquet_rows,
+        simhash_band_candidates,
+        simhash_fingerprints,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    n = _parquet_rows(f"{sfd}/documents.parquet")
+    c = simhash_band_candidates(simhash_fingerprints(spark, sfd)).count()
+    assert c <= 2 * n, f"candidate blowup: {c} pairs for {n} docs"
+
+
+def test_embedding_band_collision_rate_bounded(spark):
+    """VERDICT r2 #2: 8-bit sign-LSH bands must keep the random-pair
+    band-collision rate near the analytic 6/256 ≈ 2.3 % (the old 4-bit
+    bands admitted ≈ 37 % of all pairs). Gate at ≤ 5 % of all pairs on
+    the natural sf0.01 embeddings (no planted copies)."""
+    from goskyr_spark.ops.dedup import embedding_cosine_dups
+    from goskyr_spark.ops.similarity import hyperplane_band_values
+
+    sfd = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sfd}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    bvals = hyperplane_band_values(F.col("embedding"))
+    banded = emb.select("vec_id", *[b.alias(f"band{i}") for i, b in enumerate(bvals)])
+    stack_expr = "stack(6, " + ", ".join(f"{b}, band{b}" for b in range(6)) + ") as (band_idx, band_val)"
+    long = banded.select("vec_id", F.expr(stack_expr))
+    cands = (
+        long.alias("x")
+        .join(long.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) / 2
+    assert cands <= 0.05 * all_pairs, f"{cands} candidates = {cands/all_pairs:.1%} of all pairs"
 
 
 def test_ann_bucket_partition_pruning(spark, tmp_path):
