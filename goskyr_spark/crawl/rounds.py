@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..extract.urlutil import canonical_url, registrable_domain, host_of
+from ..extract.urlutil import frontier_triple
 from ..observability import LINEAGE_SCHEMA, MetricsLog, Tracer, parquet_lineage
 from ..spark import schemas
 from ..spark.extract_udf import explode_records, parse_pages
@@ -78,89 +78,26 @@ _SKIP_EXT = (
 )
 
 
-_TO_FRONTIER_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("host", T.StringType(), True),
-        T.StructField("domain", T.StringType(), True),
-        T.StructField("priority", T.DoubleType(), True),
-        T.StructField("depth", T.IntegerType(), True),
-    ]
-)
-
-
-# The Catalyst fast path handles exactly the URLs this regex matches —
-# lowercase http(s), ASCII host (no userinfo/IPv6/whitespace/control
-# chars), optional numeric port, then path/query/fragment. For these,
-# the expression chain below is BYTE-IDENTICAL to the python
-# canonical_url→host_of→registrable_domain pipeline (gated by
-# tests/test_crawl_rounds.py::test_to_frontier_catalyst_python_equivalence);
-# everything else (a tiny residue in practice — outlinks come out of
-# resolve_url, which emits well-formed absolute URLs) takes the python
-# mapInPandas fallback. Moving the common case into Catalyst removes
-# the per-URL python cost that capped frontier-expansion scaling at
-# ~1.6× for 4× cores (VERDICT r2 #2).
-_SIMPLE_URL_RE = (
-    r"^https?://[A-Za-z0-9.\-]+(:[0-9]+)?"
-    r"(/[^?#\x00-\x20]*)?(\?[^#\x00-\x20]*)?(#[^\x00-\x20]*)?$"
-)
-_PARSE_URL_RE = (
-    r"^(https?)://([A-Za-z0-9.\-]+(?::[0-9]+)?)((?:/[^?#]*)?)((?:\?[^#]*)?)(?:#.*)?$"
-)
-
-
-def _catalyst_frontier_cols(url):
-    """(canonical url, host, domain) as pure Catalyst expressions —
-    valid only for _SIMPLE_URL_RE matches. Mirrors
-    extract/urlutil.py canonical_url/host_of/registrable_domain."""
-    from ..extract.urlutil import _TWO_LABEL_SUFFIXES
-
-    scheme = F.regexp_extract(url, _PARSE_URL_RE, 1)
-    netloc = F.lower(F.regexp_extract(url, _PARSE_URL_RE, 2))
-    netloc = (
-        F.when(
-            (scheme == "http") & netloc.endswith(":80"),
-            F.substring(netloc, 1, F.length(netloc) - 3),
-        )
-        .when(
-            (scheme == "https") & netloc.endswith(":443"),
-            F.substring(netloc, 1, F.length(netloc) - 4),
-        )
-        .otherwise(netloc)
-    )
-    path = F.regexp_replace(F.regexp_extract(url, _PARSE_URL_RE, 3), "/+$", "")
-    query = F.regexp_extract(url, _PARSE_URL_RE, 4)
-    canon = F.concat(scheme, F.lit("://"), netloc, path, query)
-    host = F.substring_index(netloc, ":", 1)
-    parts = F.split(host, "[.]")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
-    last3 = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
-    domain = (
-        F.when(n <= 2, host)
-        .when(last2.isin(*sorted(_TWO_LABEL_SUFFIXES)), last3)
-        .otherwise(last2)
-    )
-    return canon, host, domain
-
-
 def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
                 depth_col="depth", round_id: int = 0, dedup: bool = True) -> DataFrame:
-    """urls(url, priority, depth) → FRONTIER rows: canonicalize, hash,
+    """urls(url, priority, depth) -> FRONTIER rows: canonicalize, hash,
     host/domain keys, per-URL dedup keeping the best (lowest) priority.
     ``dedup=False`` defers the dedup shuffle so the caller can fuse it
     with a downstream union (one shuffle instead of two).
 
-    Canonicalize + host + domain run as CATALYST EXPRESSIONS for the
-    common-case URLs (_SIMPLE_URL_RE — in practice ~all of them, since
-    outlinks come from resolve_url) and fall back to ONE python
-    mapInPandas pass for the odd residue. The python pass memoizes per
-    unique value and re-batches Arrow input to ~128k rows (per-batch
-    overhead swamps the work at the session's page-tuned batch size);
-    both branches read the same upstream, whose shuffle Exchange is
-    reused across them (AQE ReuseExchange), so the parent join is not
-    recomputed. The global dedup shuffle (or the caller's fused one)
-    still applies."""
+    ONE mapInPandas pass does canonicalize + host + domain (three
+    chained scalar pandas UDFs cost three Arrow round trips), with a
+    MAP-SIDE COMBINE (duplicate raw (url, priority) rows collapse before
+    any python string work) and per-unique-URL memoization of
+    ``urlutil.frontier_triple`` -- whose regex fast path for the common
+    URL shape costs ~1/4 of the old urlsplit pipeline. This was measured
+    against two plan-level alternatives (a filter-branch Catalyst
+    fast path, and a null-input scalar Arrow UDF fixup): both lose --
+    the branch split evaluates the upstream frontier-expansion join
+    twice, and any extra ArrowEvalPython node breaks whole-stage codegen
+    for the entire row stream, costing more than the python it saves.
+    Cheapening the python inside the single existing pass is the form
+    that wins on both absolute throughput and core-count scaling."""
     src = urls.select(
         F.col("url"),
         F.col(priority_col).cast("double").alias("priority"),
@@ -168,27 +105,20 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
     )
 
     def _emit(pdf):
-        # Map-side combine, HASH-based only — no sort. A full
-        # sort_values on the url strings (the obvious way to keep the
-        # best-priority row per url) costs more python time than the
-        # canonicalization it saves and gets worse with more/smaller
-        # partitions; identical (url, priority) pairs are the dominant
-        # duplication (a host's nav links repeat on every page at the
-        # same priority class), and dropping those is exact: the global
-        # dedup shuffle still picks the best row per canonical url.
+        # Hash-based map-side combine only -- no sort (sorting url
+        # strings costs more python than it saves). Identical
+        # (url, priority) pairs are the dominant duplication (a host's
+        # nav links repeat on every page at the same priority class);
+        # the global dedup shuffle still picks the best row per
+        # canonical url.
         pdf = pdf.drop_duplicates(["url", "priority"])
-        # memoize the python URL functions per UNIQUE value
-        cmap = {u: canonical_url(u) for u in pd.unique(pdf["url"])}
-        canon = pdf["url"].map(cmap)
-        hmap = {c: host_of(c) for c in pd.unique(canon)}
-        host = canon.map(hmap)
-        dmap = {h: registrable_domain(h) for h in pd.unique(host)}
-        dom = host.map(dmap)
+        tmap = {u: frontier_triple(u) for u in pd.unique(pdf["url"])}
+        triples = pdf["url"].map(tmap)
         return pd.DataFrame(
             {
-                "url": canon,
-                "host": host,
-                "domain": dom,
+                "url": [t[0] for t in triples],
+                "host": [t[1] for t in triples],
+                "domain": [t[2] for t in triples],
                 "priority": pdf["priority"].to_numpy(),
                 "depth": pdf["depth"].to_numpy(),
             }
@@ -197,7 +127,7 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
     def gen(batches):
         # The session's Arrow batch size is tuned for HEAVY page rows
         # (2048/batch); frontier rows are ~70 bytes, so honoring it here
-        # would mean ~1500 pandas calls per 3M-URL round — per-batch
+        # would mean ~1500 pandas calls per 3M-URL round -- per-batch
         # overhead swamps the work. Re-batch the iterator to ~128k rows
         # before touching pandas (also makes the map-side dedup see a
         # partition-sized window instead of a 2048-row one).
@@ -213,18 +143,9 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         if buf:
             yield _emit(pd.concat(buf, ignore_index=True))
 
-    is_simple = F.col("url").rlike(_SIMPLE_URL_RE)
-    canon, host, domain = _catalyst_frontier_cols(F.col("url"))
-    fast = src.filter(is_simple).select(
-        canon.alias("url"),
-        host.alias("host"),
-        domain.alias("domain"),
-        "priority",
-        "depth",
-    )
-    slow = src.filter(~is_simple).mapInPandas(gen, schema=_TO_FRONTIER_SCHEMA)
     df = (
-        fast.unionByName(slow)
+        src.mapInPandas(gen, schema="url string, host string, domain string, "
+                                    "priority double, depth int")
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("round_added", F.lit(round_id).cast("int"))
         .select(*[f.name for f in schemas.FRONTIER.fields])
@@ -284,6 +205,7 @@ class CrawlRun:
         bloom_min_seen: int = 0,
         transport=None,
         salt_min_frontier: int = 50_000,
+        aqe_min_frontier: int = 500_000,
     ):
         # metrics: retained for API compatibility; since round 2 ALL
         # per-round counts ride on the write actions via Observation and
@@ -311,7 +233,18 @@ class CrawlRun:
         # worst-case single-host window over the whole frontier is a
         # trivial task, and the extra window costs a whole shuffle.
         self.salt_min_frontier = salt_min_frontier
+        # Below this frontier size AQE is disabled for the round's jobs
+        # (driver-side re-planning latency with no skew to handle); at
+        # or above it AQE stays on — skew-join handling is load-bearing
+        # at production round sizes. See run_round docstring.
+        self.aqe_min_frontier = aqe_min_frontier
         self._cum_seen = 0
+        # round-pipelining state: deferred finalize (sink flushes +
+        # manifest commit) of the previous round, its in-flight bloom
+        # write, and the next round's frontier count (driver-side)
+        self._pending = None
+        self._bloom_fut = None
+        self._next_hint: tuple[int, int] | None = None
         self.metrics_log = MetricsLog(warehouse)
         self.budgets = (
             host_budgets(robots, user_agent, round_seconds, default_budget)
@@ -403,6 +336,8 @@ class CrawlRun:
         """Re-crawl semantics: drop the given URLs from the seen set and
         put them back on the next round's frontier (highest priority).
         Call between rounds; the next ``run()`` fetches them again."""
+        self._drain_pending()
+        self._next_hint = None  # appended frontier rows invalidate the count
         rnd = self.resume_round()
         rows = [(u, -1.0 - i, 0) for i, u in enumerate(urls)]
         add = to_frontier(
@@ -426,9 +361,13 @@ class CrawlRun:
         os.makedirs(os.path.join(self.warehouse, "manifest"), exist_ok=True)
 
     def _frontier_count_hint(self, rnd: int) -> int | None:
-        """The previous round's committed ``next_frontier`` count IS this
-        round's frontier size — no job needed. Stale only if a requeue
-        appended rows after the commit (then recount)."""
+        """The previous round's ``next_frontier`` count IS this round's
+        frontier size — no job needed. In-memory first (the manifest may
+        still be uncommitted while the previous round's sinks flush),
+        then the committed manifest. Stale only if a requeue appended
+        rows after the commit (then recount)."""
+        if self._next_hint is not None and self._next_hint[0] == rnd:
+            return self._next_hint[1]
         if rnd == 0:
             return None
         if os.path.exists(os.path.join(self.warehouse, "requeued")):
@@ -442,30 +381,58 @@ class CrawlRun:
         except (OSError, KeyError, ValueError):
             return None
 
-    def run_round(self, rnd: int) -> dict:
-        """One crawl round = exactly FOUR Spark jobs (selected write,
-        records write, bloom merge write, next-frontier write). Every
-        row count rides on those writes via ``Observation`` — the
-        round-1 engine ran 5-6 additional count/counter jobs per round,
-        which dominated wall-clock at small rounds (the 8→32-core
-        scaling collapse in BENCH_SCALING r1 was exactly this fixed
-        cost). Per-partition lineage comes from the written parquet
-        footers (driver-side metadata read, no job)."""
+    def run_round(self, rnd: int, _defer: bool = False) -> dict:
+        """One crawl round = exactly FOUR Spark jobs — TWO on the
+        critical path (selected write; fused parse+next-frontier write)
+        and TWO asynchronous sink flushes (records, bloom merge) that
+        nothing downstream of the round reads. With ``_defer=True``
+        (how ``run()`` drives rounds) the sink flushes and the manifest
+        commit overlap the NEXT round's critical path — the commit still
+        happens strictly before the next round's commit, and strictly
+        after every write of its own round, so crash-resume semantics
+        are unchanged (a crash mid-flush loses only uncommitted rounds,
+        which re-run). Every row count rides on the writes via
+        ``Observation`` — the round-1 engine ran 5-6 additional
+        count/counter jobs per round, which dominated wall-clock at
+        small rounds. Per-partition lineage comes from the written
+        parquet footers (driver-side metadata read, no job).
+
+        Small rounds additionally disable AQE for the round's jobs
+        (``aqe_min_frontier``, same adaptive philosophy as the salting
+        and bloom thresholds): AQE's runtime re-planning is pure
+        driver-side latency when every stage is tiny — measured ~1.7 s
+        per round at 8 cores on the 600-host corpus — while its skew
+        handling only matters at production round sizes, where the
+        threshold leaves it on. Physical-plan-only: results identical
+        either way (tests/test_crawl_rounds.py::test_aqe_toggle_equivalence)."""
         t0 = time.time()
-        spark, spec = self.spark, self.spec
+        spark = self.spark
         frontier = self._read("frontier", rnd, FRONTIER_B)
         n_frontier = self._frontier_count_hint(rnd)
         if n_frontier is None:
             n_frontier = frontier.count()
         if n_frontier == 0:
+            # commit ordering: land the previous round's deferred
+            # manifest before this empty round's
+            self._drain_pending()
             stats = {"round": rnd, "frontier": 0, "selected": 0, "records": 0, "done": True,
                      "wall_s": time.time() - t0}
             self._commit(rnd, stats, [])
             return stats
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if n_frontier <= self.aqe_min_frontier:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._round_body(rnd, t0, frontier, n_frontier, defer=_defer)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
+    def _round_body(self, rnd: int, t0: float, frontier: DataFrame,
+                    n_frontier: int, defer: bool = False) -> dict:
+        spark, spec = self.spark, self.spec
         tracer = Tracer(self.metrics_log, rnd)
         round_span = tracer.span("round")
-        round_span.__enter__()
+        round_sid = round_span.__enter__()
 
         admitted = admission_filter(frontier)
         if self.robots is not None:
@@ -480,6 +447,10 @@ class CrawlRun:
             # provably empty — skip the anti-join job entirely
             unseen = admitted
         elif use_bloom:
+            # the previous round's bloom flush runs asynchronously —
+            # wait for it before READING the blooms table (the only
+            # cross-round dependency the pipelined sinks introduce)
+            self._wait_bloom_flush()
             if rnd > 0 and os.path.exists(self._p("blooms", rnd - 1)):
                 blooms = spark.read.parquet(self._p("blooms", rnd - 1))
             else:
@@ -528,31 +499,11 @@ class CrawlRun:
         parsed = parse_pages(got, self.config_yaml)
         parsed.cache()
 
-        obs_rec = Observation()
-        records = explode_records(parsed, rnd).observe(
-            obs_rec, F.count(F.lit(1)).alias("n")
-        )
-        t_parse0 = time.time()
-        with tracer.span("parse"):
-            (
-                records.withColumn("part_id", F.spark_partition_id())
-                .write.mode("overwrite")
-                .parquet(self._p("records", rnd))
-            )
-        n_records = int(obs_rec.get["n"])
-        t_parse = time.time() - t_parse0
-
-        if use_bloom:
-            seen_delta = selected.select(
-                "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
-                F.col("round_id").alias("round_added"),
-            )
-            with tracer.span("bloom_merge"):
-                merge_blooms(blooms, seen_delta, spec).write.mode("overwrite").parquet(
-                    self._p("blooms", rnd)
-                )
-
-        # frontier expansion, priority-classed (see module docstring)
+        # FRONTIER EXPANSION runs as the round's second synchronous job:
+        # it scans ``parsed`` (materializing the parse into the cache)
+        # and writes the ONE output the next round depends on. The
+        # records and bloom writes are pure sinks — they flush
+        # asynchronously below, off the critical path.
         meta = selected.select(
             F.col("url").alias("parent_url"), F.col("priority").alias("pprio"), "depth"
         )
@@ -598,46 +549,114 @@ class CrawlRun:
             .join(exclude.hint("shuffle_hash"), on=["url_hash", "url"], how="left_anti")
             .observe(obs_next, F.count(F.lit(1)).alias("n"))
         )
-        t_w1 = time.time()
-        with tracer.span("frontier"):
+        t_pf0 = time.time()
+        with tracer.span("parse_frontier"):
             next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
         n_next = int(obs_next.get["n"])
-        t_wfrontier = time.time() - t_w1
+        t_parse_frontier = time.time() - t_pf0
+
+        # SINK FLUSHES: records + blooms read only the caches filled
+        # above; nothing in round N+1's critical path reads them (the
+        # bloom read waits explicitly, see _wait_bloom_flush). They run
+        # in helper threads (Spark sessions support concurrent actions)
+        # and the manifest commit — which must stay LAST for crash
+        # consistency — is deferred into ``finalize``, which a pipelined
+        # caller runs while the next round is underway.
+        from concurrent.futures import ThreadPoolExecutor
+
+        obs_rec = Observation()
+        records = explode_records(parsed, rnd).observe(
+            obs_rec, F.count(F.lit(1)).alias("n")
+        )
+        pool = ThreadPoolExecutor(2)
+
+        def _flush_records():
+            with tracer.span("records_flush", parent=round_sid):
+                (
+                    records.withColumn("part_id", F.spark_partition_id())
+                    .write.mode("overwrite")
+                    .parquet(self._p("records", rnd))
+                )
+
+        futs = [pool.submit(_flush_records)]
+        if use_bloom:
+            seen_delta = selected.select(
+                "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
+                F.col("round_id").alias("round_added"),
+            )
+            bloom_df = merge_blooms(blooms, seen_delta, spec)
+
+            def _flush_blooms():
+                with tracer.span("bloom_merge", parent=round_sid):
+                    bloom_df.write.mode("overwrite").parquet(self._p("blooms", rnd))
+
+            self._bloom_fut = pool.submit(_flush_blooms)
+            futs.append(self._bloom_fut)
 
         stats = {
             "round": rnd,
             "frontier": n_frontier,
             "selected": n_selected,
-            "records": n_records,
+            "records": None,  # filled by finalize (async flush)
             "next_frontier": n_next,
             "done": n_next == 0 and n_selected == 0,
             "wall_s": time.time() - t0,
             "t_schedule": round(t_schedule, 2),
-            "t_parse": round(t_parse, 2),
-            "t_write_frontier": round(t_wfrontier, 2),
+            "t_parse_frontier": round(t_parse_frontier, 2),
         }
-        lineage = {
-            stage: parquet_lineage(self._p(stage, r))
-            for stage, r in (("selected", rnd), ("records", rnd), ("frontier", rnd + 1))
-        }
-        for stage, files in lineage.items():
-            self.metrics_log.emit_stage(
-                rnd, stage,
-                n_rows=sum(f["rows"] for f in files),
-                n_bytes=sum(f["bytes"] for f in files),
-            )
-        self.metrics_log.emit_stage(rnd, "schedule", duration_s=t_schedule)
-        self.metrics_log.emit_stage(rnd, "parse", duration_s=t_parse)
-        self.metrics_log.emit_stage(rnd, "round", duration_s=time.time() - t0)
-        # close the round span BEFORE the manifest commit: a committed
-        # round's span tree is durable; an uncommitted round's spans are
-        # reconciled away by compact_from on resume
-        round_span.__exit__(None, None, None)
         self._cum_seen += n_selected
-        self._commit(rnd, stats, ["frontier", "selected", "records", "blooms"], lineage)
-        for df in (selected, parsed):
-            df.unpersist()
+        # next round's frontier count, driver-side (no job, no manifest
+        # read — the manifest may still be uncommitted while pipelined)
+        self._next_hint = (rnd + 1, n_next)
+
+        def finalize():
+            for f in futs:
+                f.result()
+            pool.shutdown(wait=False)
+            # NOTE: self._bloom_fut is NOT cleared here — finalize(N-1)
+            # runs after round N already submitted ITS flush into the
+            # same slot; clearing would skip round N+1's wait (a done
+            # future's .result() is free, stale handles are harmless)
+            stats["records"] = int(obs_rec.get["n"])
+            lineage = {
+                stage: parquet_lineage(self._p(stage, r))
+                for stage, r in (("selected", rnd), ("records", rnd), ("frontier", rnd + 1))
+            }
+            for stage, files in lineage.items():
+                self.metrics_log.emit_stage(
+                    rnd, stage,
+                    n_rows=sum(f["rows"] for f in files),
+                    n_bytes=sum(f["bytes"] for f in files),
+                )
+            self.metrics_log.emit_stage(rnd, "schedule", duration_s=t_schedule)
+            self.metrics_log.emit_stage(rnd, "parse", duration_s=t_parse_frontier)
+            self.metrics_log.emit_stage(rnd, "round", duration_s=stats["wall_s"])
+            self._commit(rnd, stats, ["frontier", "selected", "records", "blooms"], lineage)
+            for df in (selected, parsed):
+                df.unpersist()
+
+        # the round span covers the CRITICAL PATH; the flush spans are
+        # parented to it and may outlive it (normal tracing semantics)
+        round_span.__exit__(None, None, None)
+        # commit ordering: the PREVIOUS round's deferred finalize (if
+        # any) must land its manifest before this round's does. Its
+        # flushes had this whole round to complete, so this is ~instant.
+        self._drain_pending()
+        if defer:
+            self._pending = finalize
+            return stats
+        finalize()
         return stats
+
+    def _drain_pending(self) -> None:
+        fin, self._pending = self._pending, None
+        if fin is not None:
+            fin()
+
+    def _wait_bloom_flush(self) -> None:
+        fut = self._bloom_fut
+        if fut is not None:
+            fut.result()
 
     def _fetch(self, selected: DataFrame) -> DataFrame:
         """Resolve selected URLs to HTML. Default: join against the
@@ -686,11 +705,13 @@ class CrawlRun:
             except (OSError, KeyError, ValueError):
                 pass
         while rnd < max_rounds:
-            stats = self.run_round(rnd)
+            stats = self.run_round(rnd, _defer=True)
             out.append(stats)
             if stats.get("done"):
                 break
             rnd += 1
+        # land the last round's sink flushes + manifest
+        self._drain_pending()
         return out
 
     # ---- result accessors ----

@@ -26,6 +26,14 @@ _BLOCK = {"p", "div", "section", "article", "header", "footer", "aside", "main",
 _HEADINGS = {f"h{i}": i for i in range(1, 7)}
 
 
+def _raw_text(node: Node) -> str:
+    """Concatenated TEXT descendants with whitespace preserved (for
+    fenced code blocks)."""
+    if node.type == TEXT:
+        return node.text
+    return "".join(_raw_text(c) for c in node.children or [])
+
+
 def _convert(node: Node, out: list[str], ctx: dict) -> None:
     if node.type == TEXT:
         t = _WS.sub(" ", node.text)
@@ -71,13 +79,32 @@ def _convert(node: Node, out: list[str], ctx: dict) -> None:
             _convert(c, out, ctx)
         out.append("`")
         return
+    if tag == "pre":
+        # fenced code block (commonmark plugin): raw text verbatim (no
+        # whitespace collapsing), info string from a code child's
+        # language-* class
+        lang = ""
+        for c in node.children:
+            if c.type == ELEMENT and c.tag == "code":
+                m = re.search(r"language-([\w+-]+)", c.attrs.get("class", ""))
+                if m:
+                    lang = m.group(1)
+                break
+        out.append("\n\n```" + lang + "\n" + _raw_text(node).strip("\n") + "\n```\n\n")
+        return
     if tag == "a":
         inner: list[str] = []
         for c in node.children:
             _convert(c, inner, ctx)
         text = "".join(inner).strip()
         href = node.attrs.get("href", "")
-        out.append(f"[{text}]({href})" if href else text)
+        title = node.attrs.get("title", "")
+        if href and title:
+            out.append(f'[{text}]({href} "{title}")')
+        elif href:
+            out.append(f"[{text}]({href})")
+        else:
+            out.append(text)
         return
     if tag == "img":
         alt = node.attrs.get("alt", "")
@@ -85,17 +112,27 @@ def _convert(node: Node, out: list[str], ctx: dict) -> None:
         out.append(f"![{alt}]({src})")
         return
     if tag in ("ul", "ol"):
-        out.append("\n\n")
+        # nested lists keep their level: each sub-list line is indented
+        # by the parent marker's width ("- " → 2, "1. " → 3), the
+        # CommonMark continuation rule the Go library follows
+        depth = ctx.get("list_depth", 0)
+        out.append("\n\n" if depth == 0 else "\n")
         idx = 1
+        sub_ctx = dict(ctx, list_depth=depth + 1)
         for c in node.children:
             if c.type == ELEMENT and c.tag == "li":
                 marker = "- " if tag == "ul" else f"{idx}. "
                 idx += 1
                 inner = []
                 for cc in c.children:
-                    _convert(cc, inner, ctx)
-                out.append(marker + "".join(inner).strip() + "\n")
-        out.append("\n")
+                    _convert(cc, inner, sub_ctx)
+                lines = "".join(inner).strip().splitlines() or [""]
+                indented = [lines[0]] + [
+                    (" " * len(marker) + ln) if ln.strip() else "" for ln in lines[1:]
+                ]
+                out.append(marker + "\n".join(indented) + "\n")
+        if depth == 0:
+            out.append("\n")
         return
     if tag == "blockquote":
         inner = []

@@ -103,6 +103,47 @@ def canonical_url(raw: str) -> str:
     return urlunsplit((scheme, netloc, path, p.query, ""))
 
 
+# Common-case URL shape: lowercase http(s), ASCII host (no userinfo /
+# IPv6 / whitespace / control chars), optional numeric port, then
+# path/query/fragment. For matches, ``frontier_triple``'s fast path is
+# byte-identical to canonical_url → host_of → registrable_domain at a
+# fraction of the cost (one regex match + slicing vs two urlsplit +
+# urlunsplit calls) — equivalence gated by
+# tests/test_crawl_rounds.py::test_to_frontier_catalyst_python_equivalence
+# and the hypothesis fuzz in tests/test_properties.py.
+SIMPLE_URL_RE = (
+    r"^https?://[A-Za-z0-9.\-]+(:[0-9]+)?"
+    r"(/[^?#\x00-\x20]*)?(\?[^#\x00-\x20]*)?(#[^\x00-\x20]*)?$"
+)
+_SIMPLE_SPLIT = re.compile(
+    r"^(https?)://([A-Za-z0-9.\-]+(?::[0-9]+)?)((?:/[^?#\x00-\x20]*)?)"
+    r"((?:\?[^#\x00-\x20]*)?)(?:#[^\x00-\x20]*)?$"
+)
+
+
+def frontier_triple(u: str) -> tuple[str, str, str]:
+    """(canonical url, host, registrable domain) — THE hot function of
+    frontier expansion (runs once per unique discovered URL). Fast path
+    for the common shape; exact fallback for everything else."""
+    m = _SIMPLE_SPLIT.match(u)
+    if m is not None:
+        scheme, netloc, path, query = m.groups()
+        netloc = netloc.lower()
+        if scheme == "http":
+            if netloc.endswith(":80"):
+                netloc = netloc[:-3]
+        elif netloc.endswith(":443"):
+            netloc = netloc[:-4]
+        if query == "?":
+            query = ""  # urlunsplit drops a bare '?' (empty query)
+        canon = scheme + "://" + netloc + path.rstrip("/") + query
+        host = netloc.partition(":")[0]
+    else:
+        canon = canonical_url(u)
+        host = host_of(canon)
+    return canon, host, registrable_domain(host)
+
+
 # A compact multi-label public-suffix subset: enough to compute
 # registrable domains for synthetic + fixture hosts without the full PSL.
 _TWO_LABEL_SUFFIXES = frozenset(

@@ -181,9 +181,26 @@ def dump_config(c: Config) -> str:
 
 
 def _emit_scraper(w: _W, s: Scraper) -> None:
-    # Scraper tag order (scrape.go:505-526)
+    # Scraper tag order (scrape.go:505-526): interaction is declared
+    # FIRST in the Go struct, so go-yaml emits it before name; the
+    # generation pipeline never produces one, but a hand-written config
+    # carrying interactions must round-trip losslessly (warn-and-keep,
+    # never silently dropped — config/model.py Interaction).
     base = 6
-    w.raw("    - name: " + scalar(s.name))
+    if s.interaction:
+        w.raw("    - interaction:")
+        dash = base + 2
+        for ia in s.interaction:
+            items = [
+                (k, v)
+                for k, v in (("type", ia.type), ("selector", ia.selector),
+                             ("count", ia.count), ("delay", ia.delay))
+                if v
+            ]
+            _emit_items(w, dash + 2, items, first_prefix=" " * dash + "- ")
+        w.kv(base, "name", s.name)
+    else:
+        w.raw("    - name: " + scalar(s.name))
     if s.render_js:
         w.kv(base, "render_js", True)
     w.kv(base, "selector", s.selector)

@@ -159,28 +159,40 @@ class Tracer:
     which are driver calls; per-task timing lives in the Spark UI)."""
 
     def __init__(self, log: MetricsLog, round_id: int = -1):
+        import itertools
+
         self.log = log
         self.round_id = round_id
         self._stack: list[str] = []
-        self._n = 0
+        # itertools.count: span ids stay unique when the async sink
+        # flush spans open from pool threads (next() is atomic in
+        # CPython; a bare `self._n += 1` is a read-modify-write race)
+        self._n = itertools.count()
 
-    def span(self, name: str):
+    def span(self, name: str, parent: str | None = None):
+        """Open a span. ``parent`` overrides the implicit stack parent —
+        required for spans running in a CONCURRENT thread (e.g. the
+        bloom-merge write overlapping the records write): the stack is
+        the driver thread's, so a threaded span must not touch it."""
         from contextlib import contextmanager
+
+        threaded = parent is not None
 
         @contextmanager
         def _cm():
-            sid = f"r{self.round_id}.s{self._n}"
-            self._n += 1
-            parent = self._stack[-1] if self._stack else None
-            self._stack.append(sid)
+            sid = f"r{self.round_id}.s{next(self._n)}"
+            p = parent if threaded else (self._stack[-1] if self._stack else None)
+            if not threaded:
+                self._stack.append(sid)
             t0 = time.time()
             try:
                 yield sid
             finally:
-                self._stack.pop()
+                if not threaded:
+                    self._stack.pop()
                 self.log.emit(
                     self.round_id, name, "span", time.time() - t0, "sec",
-                    span_id=sid, parent_id=parent,
+                    span_id=sid, parent_id=p,
                 )
 
         return _cm()

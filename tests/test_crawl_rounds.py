@@ -272,14 +272,14 @@ def test_requeue_recrawl_exactly_once_more(spark, tmp_path):
 
 
 def test_to_frontier_catalyst_python_equivalence(spark):
-    """The Catalyst fast-path canonicalization (rounds._SIMPLE_URL_RE +
-    _catalyst_frontier_cols) must be byte-identical to the python
-    canonical_url → host_of → registrable_domain pipeline, and the odd
-    residue must route through the python fallback with the same
-    result. Both branch kinds are exercised."""
+    """frontier_triple's regex fast path (urlutil.SIMPLE_URL_RE) must be
+    byte-identical to the canonical_url → host_of → registrable_domain
+    pipeline, and the odd residue must route through that exact slow
+    path. Both paths are exercised through the full to_frontier pass."""
     import re
 
-    from goskyr_spark.crawl.rounds import _SIMPLE_URL_RE, to_frontier
+    from goskyr_spark.crawl.rounds import to_frontier
+    from goskyr_spark.extract.urlutil import SIMPLE_URL_RE as _SIMPLE_URL_RE
     from goskyr_spark.extract.urlutil import host_of, registrable_domain
 
     urls = [
@@ -297,6 +297,11 @@ def test_to_frontier_catalyst_python_equivalence(spark):
         "http://h0.toscrape.com/list/0",
         "http://example.com/%C3%BCmlaut/path/",
         "http://example.com/a.b/c?d=/e/",
+        "http://example.com?",
+        "http://example.com/p?",
+        "http://example.com/?",
+        "https://example.com:80/x",
+        "http://example.com:443/x",
         # python fallback (odd forms)
         "HTTP://EXAMPLE.com/x",
         " http://example.com/strip-me ",
@@ -346,11 +351,15 @@ def test_span_tree_for_crawl_round(spark, corpus, tmp_path):
 
     rows = load_spans(spark, wh).filter("round_id = 0").collect()
     by_name = {r["stage"]: r for r in rows}
-    assert {"round", "schedule", "parse", "frontier"} <= set(by_name)
+    # critical-path children: schedule + the fused parse/next-frontier
+    # job; records_flush is the async sink span (may outlive the round
+    # span, parented to it all the same)
+    assert {"round", "schedule", "parse_frontier", "records_flush"} <= set(by_name)
     root = by_name["round"]
     assert root["parent_id"] is None
-    for child in ("schedule", "parse", "frontier"):
+    for child in ("schedule", "parse_frontier", "records_flush"):
         assert by_name[child]["parent_id"] == root["span_id"], child
+    for child in ("schedule", "parse_frontier"):
         assert 0 <= by_name[child]["value"] <= root["value"]
     # bloom merge job exists (and is spanned) from round 1, once a seen
     # set exists to fold into the bitsets
@@ -358,7 +367,7 @@ def test_span_tree_for_crawl_round(spark, corpus, tmp_path):
     assert "bloom_merge" in r1
     tree = span_tree(sorted(rows, key=lambda r: r["ts"]))
     assert tree.startswith("round (")
-    for child in ("\n  schedule (", "\n  parse (", "\n  frontier ("):
+    for child in ("\n  schedule (", "\n  parse_frontier (", "\n  records_flush ("):
         assert child in tree, tree
 
     # resume reconciliation: duplicate-free spans after a re-run attempt
@@ -373,3 +382,32 @@ def test_span_tree_for_crawl_round(spark, corpus, tmp_path):
     spans = load_spans(spark, wh).toPandas()
     assert (spans["round_id"] != 99).all()  # uncommitted round's span dropped
     assert len(spans[(spans["round_id"] == 0) & (spans["stage"] == "round")]) == 1
+
+
+def test_aqe_toggle_equivalence(spark, tmp_path):
+    """The small-round AQE toggle is physical-plan-only: forcing it
+    always-off vs always-on yields identical visit logs, and the
+    session's AQE setting is restored after each round."""
+    spec = CorpusSpec(n_hosts=3, list_pages_per_host=2, items_per_page=3,
+                      mega_factor=2, seed=17)
+    pages = generate_pages(spark, spec).cache()
+    pages.count()
+    cfg = combined_config_yaml(spec)
+
+    def crawl(wh, aqe_min):
+        run = CrawlRun(
+            spark, wh, pages, cfg, robots=None,
+            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+            default_budget=8, n_salts=4, follow_links=True,
+            aqe_min_frontier=aqe_min,
+        )
+        run.init(spec.seed_urls())
+        run.run(max_rounds=20)
+        return run.visit_log().orderBy("round_id", "host", "visit_rank").toPandas()
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    off = crawl(str(tmp_path / "off"), 10**9)   # every round below threshold -> AQE off
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before  # restored
+    on = crawl(str(tmp_path / "on"), 0)         # threshold 0 -> AQE stays on
+    assert off[["url", "round_id", "visit_rank"]].values.tolist() == \
+        on[["url", "round_id", "visit_rank"]].values.tolist()

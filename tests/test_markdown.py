@@ -44,13 +44,19 @@ def test_lists_and_nbsp_and_blockquote():
 #
 # KNOWN CONVERTER DIVERGENCES vs the Go html-to-markdown/v2 library
 # (enumerated like the golden allowlist; none is observable through any
-# reference fixture or config):
+# reference fixture or config). The library cannot be RUN here (no Go
+# toolchain, no network, no vendored source), so closures are derived
+# from its documented CommonMark behavior; round 3 closed the former
+# #3 (<pre> now renders fenced code blocks with language info strings),
+# #4 (nested <ul>/<ol> keep their level via marker-width indentation)
+# and #5 (link title attributes render as [text](href "title")).
+# Remaining:
 #   1. no markdown-character escaping of literal * _ # in text nodes
 #      (v2 escapes them; goskyr post-processing never un-escapes)
-#   2. <table> renders as block text, not pipe tables
-#   3. <pre> blocks are not fenced (inline `code` only)
-#   4. nested <ul>/<ol> are flattened (no indentation levels)
-#   5. link title attributes ([text](href "title")) are dropped
+#   2. <table> cell spacing: both render tables as block text (the
+#      reference calls htmltomarkdown.ConvertString, which registers
+#      only the base+commonmark plugins — no table plugin), but the
+#      exact inter-cell separators are not reproduced
 RICH_FIXTURE = """
 <div class="event-page">
 \t<h1 class="event-title">Weekend Retreat</h1>
@@ -167,3 +173,43 @@ def test_write_config_to_dir(tmp_path):
     out = (tmp_path / "quotes-toscrape-com__n10aba.yml").read_text()
     assert out == dump_config(c)
     assert (tmp_path / "quotes-toscrape-com__n10aba_1.json").exists()
+
+
+def test_fenced_code_blocks_with_language():
+    """Round-3 closure of divergence #3: <pre><code class=language-*>
+    renders a fenced block with the info string, raw text preserved
+    (no whitespace collapsing inside the fence)."""
+    from goskyr_spark.extract.markdown import html_to_markdown
+
+    got = html_to_markdown(
+        '<pre><code class="language-go">func main() {\n\tx := 1\n}</code></pre>'
+    )
+    assert got.startswith("```go\n")
+    assert got.endswith("\n```")
+    assert "\tx := 1" in got  # tab survives (no _WS collapsing)
+    # no language class → bare fence
+    assert html_to_markdown("<pre>plain</pre>").startswith("```\n")
+
+
+def test_link_title_attribute():
+    """Round-3 closure of divergence #5: [text](href "title")."""
+    from goskyr_spark.extract.markdown import html_to_markdown
+
+    got = html_to_markdown('<p><a href="https://x.y/v" title="Venue map">map</a></p>')
+    assert got == '[map](https://x.y/v "Venue map")'
+    # no title → plain form unchanged
+    assert html_to_markdown('<p><a href="https://x.y/v">map</a></p>') == "[map](https://x.y/v)"
+
+
+def test_nested_list_indentation():
+    """Round-3 closure of divergence #4: nested lists keep their level,
+    indented by the parent marker width (CommonMark continuation)."""
+    from goskyr_spark.extract.markdown import html_to_markdown
+
+    got = html_to_markdown(
+        "<ul><li>top<ul><li>inner a</li><li>inner b</li></ul></li><li>second</li></ul>"
+    )
+    lines = [ln for ln in got.splitlines() if ln.strip()]
+    assert lines == ["- top", "  - inner a", "  - inner b", "- second"]
+    got_ol = html_to_markdown("<ol><li>one<ol><li>sub</li></ol></li></ol>")
+    assert [ln for ln in got_ol.splitlines() if ln.strip()] == ["1. one", "   1. sub"]

@@ -83,3 +83,24 @@ def test_winnowing_subset_of_grams(text, k, window):
     assert mins <= set(hashes)
     mins2 = {min(hashes[i : i + window]) for i in range(max(1, len(hashes) - window + 1))}
     assert mins == mins2
+
+
+@given(st.one_of(
+    urls,
+    st.from_regex(
+        r"https?://[A-Za-z0-9.\-]{1,20}(:[0-9]{1,5})?"
+        r"(/[^?#\x00-\x20]{0,12}){0,3}(\?[^#\x00-\x20]{0,12})?(#[^\x00-\x20]{0,8})?",
+        fullmatch=True,
+    ),
+))
+@settings(max_examples=500, deadline=None)
+def test_frontier_triple_equals_slow_pipeline(u):
+    """frontier_triple's regex fast path must be byte-identical to the
+    canonical_url → host_of → registrable_domain pipeline on EVERY
+    input — fuzzed over both the fast-path language and arbitrary
+    text (which exercises the fallback)."""
+    from goskyr_spark.extract.urlutil import frontier_triple, host_of
+
+    canon = canonical_url(u)
+    host = host_of(canon)
+    assert frontier_triple(u) == (canon, host, registrable_domain(host))
