@@ -241,9 +241,13 @@ class CrawlRun:
         self._cum_seen = 0
         # round-pipelining state: deferred finalize (sink flushes +
         # manifest commit) of the previous round, its in-flight bloom
-        # write, and the next round's frontier count (driver-side)
+        # write, the cached selected DataFrames whose parquet flush has
+        # not landed yet (keyed by round — the seen-set reads these
+        # instead of a mid-write dir), and the next round's frontier
+        # count (driver-side)
         self._pending = None
         self._bloom_fut = None
+        self._inflight_selected: dict[int, DataFrame] = {}
         self._next_hint: tuple[int, int] | None = None
         self.metrics_log = MetricsLog(warehouse)
         self.budgets = (
@@ -260,10 +264,12 @@ class CrawlRun:
         return os.path.join(self.warehouse, "manifest", f"round={rnd}.json")
 
     def _has_seen(self, upto: int) -> bool:
-        """True if any committed round wrote a selected delta (driver-
-        side directory check — no job)."""
+        """True if any round ≤ upto produced a selected delta — written
+        parquet OR still in flight as a cached DataFrame while its sink
+        flush runs (driver-side checks only, no job)."""
         return any(
-            os.path.exists(self._p("selected", r)) for r in range(upto + 1)
+            r in self._inflight_selected or os.path.exists(self._p("selected", r))
+            for r in range(upto + 1)
         )
 
     def resume_round(self) -> int:
@@ -288,27 +294,39 @@ class CrawlRun:
         delete — a requeued URL is bloom-positive but survives the exact
         verification; the cuckoo sketch in crawl/cuckoo.py is the
         alternative for when even the exact table must stay sketched)."""
+        # Rounds whose selected flush is still in flight (pipelined
+        # sinks) contribute their CACHED DataFrame — never the parquet
+        # dir, which may exist mid-write. The cache is materialized (the
+        # round's fused job ran before any flush was submitted), so this
+        # union costs a cache scan, not a recompute.
+        inflight = [df for r, df in self._inflight_selected.items() if r <= upto]
         paths = [
             self._p("selected", r)
             for r in range(upto + 1)
-            if os.path.exists(self._p("selected", r))
+            if r not in self._inflight_selected
+            and os.path.exists(self._p("selected", r))
         ]
-        if not paths:
+        if not paths and not inflight:
             return self.spark.createDataFrame([], schemas.SEEN)
+
         # url is carried alongside url_hash: every EXACT seen-check joins
         # on (url_hash, url) so a 64-bit collision (expected ~2-3 at the
         # north-rule's 10^10 URLs) can never silently mark an uncrawled
         # URL as seen. The bloom side stays hash-only (probabilistic
         # pre-filter; false positives are verified here anyway).
-        seen = (
-            self.spark.read.parquet(*paths)
-            .select(
+        def as_seen(df: DataFrame) -> DataFrame:
+            return df.select(
                 "url",
                 "url_hash",
                 self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
                 F.col("round_id").alias("round_added"),
             )
-        )
+
+        parts = ([as_seen(self.spark.read.parquet(*paths))] if paths else [])
+        parts += [as_seen(df) for df in inflight]
+        seen = parts[0]
+        for p in parts[1:]:
+            seen = seen.unionByName(p)
         rq = os.path.join(self.warehouse, "requeued")
         if os.path.exists(rq):
             # forgive only visits made BEFORE the requeue — the re-fetch
@@ -382,16 +400,20 @@ class CrawlRun:
             return None
 
     def run_round(self, rnd: int, _defer: bool = False) -> dict:
-        """One crawl round = exactly FOUR Spark jobs — TWO on the
-        critical path (selected write; fused parse+next-frontier write)
-        and TWO asynchronous sink flushes (records, bloom merge) that
-        nothing downstream of the round reads. With ``_defer=True``
-        (how ``run()`` drives rounds) the sink flushes and the manifest
-        commit overlap the NEXT round's critical path — the commit still
-        happens strictly before the next round's commit, and strictly
-        after every write of its own round, so crash-resume semantics
-        are unchanged (a crash mid-flush loses only uncommitted rounds,
-        which re-run). Every row count rides on the writes via
+        """One crawl round = ONE Spark job on the critical path (the
+        fused schedule + fetch + parse + next-frontier write, which
+        also materializes the selected/parsed caches) plus THREE
+        asynchronous sink flushes (selected, records, bloom merge) that
+        nothing on the next round's critical path reads from disk: the
+        seen-set unions the still-cached selected DataFrame via
+        ``_inflight_selected`` until its flush lands, and the bloom
+        read waits explicitly. With ``_defer=True`` (how ``run()``
+        drives rounds) the sink flushes and the manifest commit overlap
+        the NEXT round's critical path — the commit still happens
+        strictly before the next round's commit, and strictly after
+        every write of its own round, so crash-resume semantics are
+        unchanged (a crash mid-flush loses only uncommitted rounds,
+        which re-run). Every row count rides on the job via
         ``Observation`` — the round-1 engine ran 5-6 additional
         count/counter jobs per round, which dominated wall-clock at
         small rounds. Per-partition lineage comes from the written
@@ -479,16 +501,13 @@ class CrawlRun:
             .observe(obs_sel, F.count(F.lit(1)).alias("n"))
         )
         selected.cache()
-        t_sched0 = time.time()
-        with tracer.span("schedule"):
-            (
-                selected.drop("bucket")
-                .withColumn("part_id", F.spark_partition_id())
-                .write.mode("overwrite")
-                .parquet(self._p("selected", rnd))
-            )
-        n_selected = int(obs_sel.get["n"])
-        t_schedule = time.time() - t_sched0
+        # The selected write is a PURE SINK too: the parse below reads
+        # the cache, and the next round's seen-set reads the cached
+        # DataFrame via _inflight_selected until the flush lands. It is
+        # submitted (async) only AFTER the fused job has materialized
+        # the cache — so the flush is plain IO and never races the job
+        # for cache computation. Critical path per round = ONE job.
+        self._inflight_selected[rnd] = selected
 
         carry = carryover(unseen, selected)
 
@@ -499,11 +518,12 @@ class CrawlRun:
         parsed = parse_pages(got, self.config_yaml)
         parsed.cache()
 
-        # FRONTIER EXPANSION runs as the round's second synchronous job:
-        # it scans ``parsed`` (materializing the parse into the cache)
-        # and writes the ONE output the next round depends on. The
-        # records and bloom writes are pure sinks — they flush
-        # asynchronously below, off the critical path.
+        # FRONTIER EXPANSION is the round's ONE synchronous job: it
+        # materializes the selected and parsed caches (schedule + fetch
+        # + parse run inside it) and writes the single output the next
+        # round depends on. The selected, records, and bloom writes are
+        # pure sinks — they flush asynchronously below, off the
+        # critical path.
         meta = selected.select(
             F.col("url").alias("parent_url"), F.col("priority").alias("pprio"), "depth"
         )
@@ -553,22 +573,34 @@ class CrawlRun:
         with tracer.span("parse_frontier"):
             next_frontier.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
         n_next = int(obs_next.get["n"])
+        n_selected = int(obs_sel.get["n"])  # observed by the fused job
         t_parse_frontier = time.time() - t_pf0
 
-        # SINK FLUSHES: records + blooms read only the caches filled
-        # above; nothing in round N+1's critical path reads them (the
-        # bloom read waits explicitly, see _wait_bloom_flush). They run
-        # in helper threads (Spark sessions support concurrent actions)
-        # and the manifest commit — which must stay LAST for crash
-        # consistency — is deferred into ``finalize``, which a pipelined
-        # caller runs while the next round is underway.
+        # SINK FLUSHES: selected + records + blooms read only the caches
+        # the fused job just filled; nothing in round N+1's critical
+        # path reads them (the seen-set reads the cached selected via
+        # _inflight_selected; the bloom read waits explicitly, see
+        # _wait_bloom_flush). They run in helper threads (Spark sessions
+        # support concurrent actions) and the manifest commit — which
+        # must stay LAST for crash consistency — is deferred into
+        # ``finalize``, which a pipelined caller runs while the next
+        # round is underway.
         from concurrent.futures import ThreadPoolExecutor
 
         obs_rec = Observation()
         records = explode_records(parsed, rnd).observe(
             obs_rec, F.count(F.lit(1)).alias("n")
         )
-        pool = ThreadPoolExecutor(2)
+        pool = ThreadPoolExecutor(3)
+
+        def _flush_selected():
+            with tracer.span("selected_flush", parent=round_sid):
+                (
+                    selected.drop("bucket")
+                    .withColumn("part_id", F.spark_partition_id())
+                    .write.mode("overwrite")
+                    .parquet(self._p("selected", rnd))
+                )
 
         def _flush_records():
             with tracer.span("records_flush", parent=round_sid):
@@ -578,7 +610,7 @@ class CrawlRun:
                     .parquet(self._p("records", rnd))
                 )
 
-        futs = [pool.submit(_flush_records)]
+        futs = [pool.submit(_flush_selected), pool.submit(_flush_records)]
         if use_bloom:
             seen_delta = selected.select(
                 "url_hash", self.spec.bucket_col(F.col("url_hash")).alias("bucket"),
@@ -601,8 +633,7 @@ class CrawlRun:
             "next_frontier": n_next,
             "done": n_next == 0 and n_selected == 0,
             "wall_s": time.time() - t0,
-            "t_schedule": round(t_schedule, 2),
-            "t_parse_frontier": round(t_parse_frontier, 2),
+            "t_round_job": round(t_parse_frontier, 2),
         }
         self._cum_seen += n_selected
         # next round's frontier count, driver-side (no job, no manifest
@@ -628,10 +659,12 @@ class CrawlRun:
                     n_rows=sum(f["rows"] for f in files),
                     n_bytes=sum(f["bytes"] for f in files),
                 )
-            self.metrics_log.emit_stage(rnd, "schedule", duration_s=t_schedule)
-            self.metrics_log.emit_stage(rnd, "parse", duration_s=t_parse_frontier)
+            self.metrics_log.emit_stage(rnd, "round_job", duration_s=t_parse_frontier)
             self.metrics_log.emit_stage(rnd, "round", duration_s=stats["wall_s"])
             self._commit(rnd, stats, ["frontier", "selected", "records", "blooms"], lineage)
+            # the selected parquet is durable now — the next seen-set
+            # read can use the files instead of the cache
+            self._inflight_selected.pop(rnd, None)
             for df in (selected, parsed):
                 df.unpersist()
 

@@ -205,7 +205,7 @@ def test_metrics_emitted_for_every_stage(spark, corpus, tmp_path):
     m = load_metrics(spark, wh).toPandas()
     r0 = m[m["round_id"] == 0]
     stages = set(r0["stage"])
-    assert {"selected", "records", "frontier", "schedule", "parse", "round"} <= stages
+    assert {"selected", "records", "frontier", "round_job", "round"} <= stages
     sel_rows = r0[(r0["stage"] == "selected") & (r0["metric"] == "rows")]["value"].iloc[0]
     assert int(sel_rows) == stats["selected"]
     rec_rows = r0[(r0["stage"] == "records") & (r0["metric"] == "rows")]["value"].iloc[0]
@@ -333,8 +333,9 @@ def test_to_frontier_catalyst_python_equivalence(spark):
 def test_span_tree_for_crawl_round(spark, corpus, tmp_path):
     """Tracing-span gate (reference surface: observability/tracing.go):
     one crawl round emits a span TREE — a 'round' root whose children
-    are the four Spark jobs (schedule, parse, frontier; bloom_merge when
-    blooms are on) — durable in the MetricsLog and queryable via
+    are the round's jobs (the fused parse_frontier critical-path job;
+    selected/records flushes; bloom_merge when blooms are on) — durable
+    in the MetricsLog and queryable via
     load_spans; span_tree renders the hierarchy. A resumed re-run does
     not duplicate committed spans (compact_from reconciliation)."""
     from goskyr_spark.observability import MetricsLog, load_spans, span_tree
@@ -351,23 +352,22 @@ def test_span_tree_for_crawl_round(spark, corpus, tmp_path):
 
     rows = load_spans(spark, wh).filter("round_id = 0").collect()
     by_name = {r["stage"]: r for r in rows}
-    # critical-path children: schedule + the fused parse/next-frontier
-    # job; records_flush is the async sink span (may outlive the round
-    # span, parented to it all the same)
-    assert {"round", "schedule", "parse_frontier", "records_flush"} <= set(by_name)
+    # critical-path child: the fused schedule+parse+next-frontier job;
+    # selected_flush/records_flush are the async sink spans (may outlive
+    # the round span, parented to it all the same)
+    assert {"round", "parse_frontier", "selected_flush", "records_flush"} <= set(by_name)
     root = by_name["round"]
     assert root["parent_id"] is None
-    for child in ("schedule", "parse_frontier", "records_flush"):
+    for child in ("parse_frontier", "selected_flush", "records_flush"):
         assert by_name[child]["parent_id"] == root["span_id"], child
-    for child in ("schedule", "parse_frontier"):
-        assert 0 <= by_name[child]["value"] <= root["value"]
+    assert 0 <= by_name["parse_frontier"]["value"] <= root["value"]
     # bloom merge job exists (and is spanned) from round 1, once a seen
     # set exists to fold into the bitsets
     r1 = {r["stage"] for r in load_spans(spark, wh).filter("round_id = 1").collect()}
     assert "bloom_merge" in r1
     tree = span_tree(sorted(rows, key=lambda r: r["ts"]))
     assert tree.startswith("round (")
-    for child in ("\n  schedule (", "\n  parse_frontier (", "\n  records_flush ("):
+    for child in ("\n  parse_frontier (", "\n  records_flush ("):
         assert child in tree, tree
 
     # resume reconciliation: duplicate-free spans after a re-run attempt
