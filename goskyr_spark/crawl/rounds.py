@@ -104,7 +104,7 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         F.col(depth_col).cast("int").alias("depth"),
     )
 
-    def _emit(pdf):
+    def _emit(pdf, memo):
         # Hash-based map-side combine only -- no sort (sorting url
         # strings costs more python than it saves). Identical
         # (url, priority) pairs are the dominant duplication (a host's
@@ -112,8 +112,18 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         # the global dedup shuffle still picks the best row per
         # canonical url.
         pdf = pdf.drop_duplicates(["url", "priority"])
-        tmap = {u: frontier_triple(u) for u in pd.unique(pdf["url"])}
-        triples = pdf["url"].map(tmap)
+        # ``memo`` outlives this 128k-row window (held by ``gen`` for
+        # the whole task): nav/archive links recur across windows of the
+        # same partition, so the ~5 µs/URL ``frontier_triple`` cost is
+        # paid once per task-unique URL, not once per window-unique. The
+        # size bound caps worker memory (~300 B/entry → ≲150 MB/task);
+        # a full reset on overflow keeps the common case branch-free.
+        miss = [u for u in pd.unique(pdf["url"]) if u not in memo]
+        if len(memo) + len(miss) > 500_000:
+            memo.clear()
+        for u in miss:
+            memo[u] = frontier_triple(u)
+        triples = pdf["url"].map(memo)
         return pd.DataFrame(
             {
                 "url": [t[0] for t in triples],
@@ -131,17 +141,17 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         # overhead swamps the work. Re-batch the iterator to ~128k rows
         # before touching pandas (also makes the map-side dedup see a
         # partition-sized window instead of a 2048-row one).
-        buf, n = [], 0
+        buf, n, memo = [], 0, {}
         for pdf in batches:
             if not len(pdf):
                 continue
             buf.append(pdf)
             n += len(pdf)
             if n >= 131_072:
-                yield _emit(pd.concat(buf, ignore_index=True))
+                yield _emit(pd.concat(buf, ignore_index=True), memo)
                 buf, n = [], 0
         if buf:
-            yield _emit(pd.concat(buf, ignore_index=True))
+            yield _emit(pd.concat(buf, ignore_index=True), memo)
 
     df = (
         src.mapInPandas(gen, schema="url string, host string, domain string, "
