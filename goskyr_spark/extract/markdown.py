@@ -25,6 +25,57 @@ _BLOCK = {"p", "div", "section", "article", "header", "footer", "aside", "main",
           "table", "tr", "blockquote", "pre"}
 _HEADINGS = {f"h{i}": i for i in range(1, 7)}
 
+_LINE_START_HASH = re.compile(r"^(\s*)(#{1,6})(?=\s|$)")
+_LINE_START_MARKER = re.compile(r"^(\s*)([->+])(?=\s)")
+_LINE_START_ORDERED = re.compile(r"^(\s*)(\d{1,9})([.)])(?=\s)")
+
+
+def _escape_emphasis(t: str) -> str:
+    """Escape ``*`` / ``_`` where CommonMark flanking rules could turn
+    them into emphasis delimiters (the Go library's "smart" escape):
+    ``*`` whenever a non-space char is adjacent on either side (intraword
+    ``*`` IS emphasis); ``_`` only at word boundaries (intraword ``_``
+    is literal in CommonMark, so ``a_b`` stays unescaped)."""
+    if "*" not in t and "_" not in t:
+        return t
+    out = []
+    n = len(t)
+    for i, ch in enumerate(t):
+        if ch in "*_":
+            prev = t[i - 1] if i > 0 else " "
+            nxt = t[i + 1] if i + 1 < n else " "
+            flanked = (not prev.isspace()) or (not nxt.isspace())
+            if ch == "_" and prev.isalnum() and nxt.isalnum():
+                flanked = False  # intraword underscore: literal
+            if flanked:
+                out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
+def _escape_markdown(t: str, at_line_start: bool) -> str:
+    """Markdown-significant characters in TEXT nodes are escaped so the
+    emitted document renders back to the literal text (html-to-markdown
+    v2 default behavior; derived from CommonMark rules — the Go library
+    itself cannot be run here, see the divergence note in
+    tests/test_markdown.py). Backslash first, then the always-inline
+    set (backtick, brackets), flanking-sensitive emphasis markers, and
+    — only at a line start — block-structure leaders (ATX ``#``,
+    blockquote ``>``, list markers ``-``/``+``, ``N.``/``N)``)."""
+    t = t.replace("\\", "\\\\")
+    t = re.sub(r"([`\[\]])", r"\\\1", t)
+    t = _escape_emphasis(t)
+    if at_line_start:
+        t = _LINE_START_HASH.sub(lambda m: m.group(1) + "\\" + m.group(2), t)
+        t = _LINE_START_MARKER.sub(lambda m: m.group(1) + "\\" + m.group(2), t)
+        t = _LINE_START_ORDERED.sub(
+            lambda m: m.group(1) + m.group(2) + "\\" + m.group(3), t
+        )
+        if t.lstrip().startswith(">"):
+            i = len(t) - len(t.lstrip())
+            t = t[:i] + "\\" + t[i:]
+    return t
+
 
 def _raw_text(node: Node) -> str:
     """Concatenated TEXT descendants with whitespace preserved (for
@@ -38,6 +89,10 @@ def _convert(node: Node, out: list[str], ctx: dict) -> None:
     if node.type == TEXT:
         t = _WS.sub(" ", node.text)
         if t.strip() or (out and out[-1] and not out[-1].endswith("\n")):
+            if not ctx.get("verbatim"):
+                tail = "".join(out[-2:])
+                at_ls = not ctx.get("inline") and (not tail or tail.endswith("\n"))
+                t = _escape_markdown(t, at_line_start=at_ls)
             out.append(t)
         return
     if node.type != ELEMENT:
@@ -74,9 +129,11 @@ def _convert(node: Node, out: list[str], ctx: dict) -> None:
         out.append("_")
         return
     if tag == "code":
+        # inline code spans are verbatim: no markdown escaping inside
         out.append("`")
+        sub = dict(ctx, verbatim=True)
         for c in node.children:
-            _convert(c, out, ctx)
+            _convert(c, out, sub)
         out.append("`")
         return
     if tag == "pre":
@@ -94,8 +151,11 @@ def _convert(node: Node, out: list[str], ctx: dict) -> None:
         return
     if tag == "a":
         inner: list[str] = []
+        # link text is inline by construction — never at a line start,
+        # so block-structure leaders (#, -, >) stay literal inside it
+        sub_inline = dict(ctx, inline=True)
         for c in node.children:
-            _convert(c, inner, ctx)
+            _convert(c, inner, sub_inline)
         text = "".join(inner).strip()
         href = node.attrs.get("href", "")
         title = node.attrs.get("title", "")

@@ -48,11 +48,11 @@ def test_lists_and_nbsp_and_blockquote():
 # toolchain, no network, no vendored source), so closures are derived
 # from its documented CommonMark behavior; round 3 closed the former
 # #3 (<pre> now renders fenced code blocks with language info strings),
-# #4 (nested <ul>/<ol> keep their level via marker-width indentation)
-# and #5 (link title attributes render as [text](href "title")).
-# Remaining:
-#   1. no markdown-character escaping of literal * _ # in text nodes
-#      (v2 escapes them; goskyr post-processing never un-escapes)
+# #4 (nested <ul>/<ol> keep their level via marker-width indentation),
+# #5 (link title attributes render as [text](href "title")), and
+# #1 (markdown-character escaping of literal \ ` [ ] * _ and line-start
+# # > - + N. in text nodes, flanking-aware per CommonMark — see
+# markdown._escape_markdown; code/pre spans verbatim). Remaining:
 #   2. <table> cell spacing: both render tables as block text (the
 #      reference calls htmltomarkdown.ConvertString, which registers
 #      only the base+commonmark plugins — no table plugin), but the
@@ -213,3 +213,41 @@ def test_nested_list_indentation():
     assert lines == ["- top", "  - inner a", "  - inner b", "- second"]
     got_ol = html_to_markdown("<ol><li>one<ol><li>sub</li></ol></li></ol>")
     assert [ln for ln in got_ol.splitlines() if ln.strip()] == ["1. one", "   1. sub"]
+
+
+def test_markdown_character_escaping():
+    """Round-3 closure of divergence #1: markdown-significant characters
+    in TEXT nodes are escaped so the document renders back to the
+    literal text (html-to-markdown v2 default; rules derived from
+    CommonMark flanking semantics — see _escape_markdown)."""
+    from goskyr_spark.extract.markdown import html_to_markdown
+
+    # emphasis markers: * escaped when a non-space char is adjacent;
+    # _ only at word boundaries (intraword _ is literal in CommonMark)
+    assert html_to_markdown("<p>5*3 and *bold* text</p>") == (
+        "5\\*3 and \\*bold\\* text"
+    )
+    assert html_to_markdown("<p>snake_case stays, _lead and trail_ escape</p>") == (
+        "snake_case stays, \\_lead and trail\\_ escape"
+    )
+    # standalone * between spaces cannot open/close emphasis → literal
+    assert html_to_markdown("<p>5 * 3 = 15</p>") == "5 * 3 = 15"
+    # always-inline set: backslash, backtick, brackets
+    assert html_to_markdown("<p>a\\b `tick` [ref]</p>") == (
+        "a\\\\b \\`tick\\` \\[ref\\]"
+    )
+    # block leaders only at a line start: ATX #, list markers, ordered
+    assert html_to_markdown("<p># not a heading</p>") == "\\# not a heading"
+    assert html_to_markdown("<p>- not a list</p>") == "\\- not a list"
+    assert html_to_markdown("<p>1. not ordered</p>") == "1\\. not ordered"
+    # ...but the same chars mid-line stay literal
+    assert html_to_markdown("<p>issue # 7 - fixed</p>") == "issue # 7 - fixed"
+    # inline code spans are verbatim (no escaping inside)
+    assert html_to_markdown("<p><code>a*b_c</code></p>") == "`a*b_c`"
+    # fenced blocks are verbatim
+    got = html_to_markdown("<pre>x = a*b</pre>")
+    assert "a*b" in got
+    # link text is inline: block leaders stay literal inside it
+    assert html_to_markdown('<p><a href="/x"># 1 pick</a></p>') == "[# 1 pick](/x)"
+    # converter-generated syntax is not double-escaped
+    assert html_to_markdown("<p><strong>x*y</strong></p>") == "**x\\*y**"

@@ -97,6 +97,7 @@ def main():
     hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     body_words = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+    label = sys.argv[4] if len(sys.argv) > 4 else ""
     small = run_at(n_small, hosts, body_words)
     big = run_at(4 * n_small, hosts, body_words)
 
@@ -148,6 +149,8 @@ seen set outgrows the exact anti-join.
 Raw: {json.dumps({'local8': small, 'local32': big})}
 """
     out_name = "BENCH_SCALING.md" if n_small == 8 else f"BENCH_SCALING_{n_small}v{4*n_small}.md"
+    if label:
+        out_name = out_name.replace(".md", f"_{label}.md")
     with open(os.path.join(REPO, out_name), "w") as fh:
         fh.write(md)
     print(md)
