@@ -123,7 +123,9 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
             memo.clear()
         for u in miss:
             memo[u] = frontier_triple(u)
-        triples = pdf["url"].map(memo)
+        # plain dict lookups — Series.map(dict) materializes the WHOLE
+        # memo as a Series per call (O(|memo|), not O(|window|))
+        triples = [memo[u] for u in pdf["url"].tolist()]
         return pd.DataFrame(
             {
                 "url": [t[0] for t in triples],
