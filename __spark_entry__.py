@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goskyr_spark.ops import dedup, multimodal, relational, similarity, textstats
+from goskyr_spark.ops import dedup, multimodal, relational, similarity, textstats, trainprep
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_signals": textstats.quality_signals,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
+        # composed training-data-prep pipeline (dedup → lang gate →
+        # quality gate → token accounting as ONE Catalyst plan)
+        "pipeline_training_prep": trainprep.training_prep,
         # multimodal plumbing (oracle-checkable fragment)
         "multimodal_binary_meta": multimodal.documents_as_binary,
         # crawl engine + auto-config generation demos (non-SQL-expressible;
@@ -575,6 +578,42 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr > 0 THEN 'fr'
                         ELSE 'und' END AS lang_guess
             FROM s
+        """,
+        "pipeline_training_prep": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+            ), canon AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                    FROM d
+                ) WHERE doc_id = keep_id
+            ), feat AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                       CAST(length(text) AS INTEGER) AS n_chars,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for)\\b')) AS INTEGER) AS n_stopwords,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|is|for)\\b')) AS en,
+                       len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS de,
+                       len(regexp_extract_all(lower(text), '\\b(el|la|los|y|es)\\b')) AS es,
+                       len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS fr
+                FROM canon
+            )
+            SELECT doc_id, n_tokens, n_chars, n_stopwords,
+                   CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM feat
+            WHERE (CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'und' END) = 'en'
+              AND n_tokens >= 10 AND n_stopwords >= 1
         """,
         "multimodal_binary_meta": """
             SELECT doc_id,

@@ -274,3 +274,24 @@ def test_quality_signals_values(spark, mini_docs):
     assert row["n_words"] == len(text.split())
     assert row["n_stopwords"] == 3  # 'the' ×2 + 'and'
     assert row["n_punct"] == 0
+
+
+def test_training_prep_pipeline(spark):
+    """Composed training-prep pipeline (ops/trainprep.py): planted exact
+    duplicates are removed (no doc_id >= PLANT_OFFSET survives — the
+    canonical min-doc_id copy wins), every survivor passes the language
+    and quality gates, and the plan carries exactly one dedup shuffle."""
+    from goskyr_spark.ops.dedup import PLANT_OFFSET
+    from goskyr_spark.ops.trainprep import training_prep
+
+    df = training_prep(spark, SF)
+    # one shuffle only (the md5 dedup window); the gates are narrow.
+    # Read the plan BEFORE executing: the post-execution AQE string
+    # repeats the shuffle in both its Final and Initial Plan sections.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.collect()
+    assert rows, "pipeline must keep a non-empty survivor set"
+    assert all(r["doc_id"] < PLANT_OFFSET for r in rows)
+    assert all(r["lang_pred"] == "en" for r in rows)
+    assert all(r["n_tokens"] >= 10 and r["n_stopwords"] >= 1 for r in rows)

@@ -43,44 +43,59 @@ n_pages = pages.count()
 robots = generate_robots(spark, spec)
 cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
 
+# Single-shot walls on this box vary run-to-run by 10-30% (page cache,
+# JIT, GC sizing), which is larger than the efficiency deltas being
+# measured — so every leg runs REPEATS times and reports the MIN (the
+# least-perturbed execution), with the spread kept in the raw JSON.
+repeats = @REPEATS@
+
 # 2) extraction stage over the whole corpus, one job (work-dominated)
 # per-job shuffle sizing: the wide extract job wants fine granularity,
 # the many small round stages of the crawl want coarse
 from goskyr_spark.spark.extract_udf import parse_pages, explode_records
 spark.conf.set('spark.sql.shuffle.partitions', str(3 * cpus))
-t0 = time.time()
-explode_records(parse_pages(pages, cfg)).write.format('noop').mode('overwrite').save()
-t_extract = time.time() - t0
+t_extracts = []
+for _ in range(repeats):
+    t0 = time.time()
+    explode_records(parse_pages(pages, cfg)).write.format('noop').mode('overwrite').save()
+    t_extracts.append(time.time() - t0)
+t_extract = min(t_extracts)
 
 # 1) full crawl engine to completion
 spark.conf.set('spark.sql.shuffle.partitions', str(cpus))
-wh = tempfile.mkdtemp(prefix='scaling_wh_')
-run = CrawlRun(spark, wh, pages, cfg, robots=robots,
-               bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
-               default_budget=2000, round_seconds=4000.0, n_salts=8,
-               follow_links=True, metrics='fast', bloom_min_seen=100_000)
-run.init(spec.seed_urls())
-t0 = time.time()
-stats = run.run(max_rounds=100)
-t_crawl = time.time() - t0
+t_crawls = []
+for _ in range(repeats):
+    wh = tempfile.mkdtemp(prefix='scaling_wh_')
+    run = CrawlRun(spark, wh, pages, cfg, robots=robots,
+                   bloom_spec=BloomSpec(n_buckets=32, bits_per_bucket=1 << 18),
+                   default_budget=2000, round_seconds=4000.0, n_salts=8,
+                   follow_links=True, metrics='fast', bloom_min_seen=100_000)
+    run.init(spec.seed_urls())
+    t0 = time.time()
+    stats = run.run(max_rounds=100)
+    t_crawls.append(time.time() - t0)
+    shutil.rmtree(wh, ignore_errors=True)
+t_crawl = min(t_crawls)
 urls = sum(s.get('selected', 0) for s in stats)
-shutil.rmtree(wh, ignore_errors=True)
 print('RESULT ' + json.dumps({
     'cpus': cpus, 'pages': n_pages, 'urls': urls, 'rounds': len(stats),
     'peak_round_urls': max((s.get('selected', 0) for s in stats), default=0),
     'crawl_wall_s': round(t_crawl, 2), 'crawl_urls_per_sec': round(urls / t_crawl, 1),
     'extract_wall_s': round(t_extract, 2), 'extract_pages_per_sec': round(n_pages / t_extract, 1),
+    'crawl_walls': [round(t, 2) for t in t_crawls],
+    'extract_walls': [round(t, 2) for t in t_extracts],
 }))
 spark.stop()
 """
 
 
-def run_at(cpus: int, hosts: int, body_words: int = 4000) -> dict:
+def run_at(cpus: int, hosts: int, body_words: int = 4000, repeats: int = 1) -> dict:
     code = (
         _CODE.replace("@REPO@", REPO)
         .replace("@CPUS@", str(cpus))
         .replace("@HOSTS@", str(hosts))
         .replace("@BODY@", str(body_words))
+        .replace("@REPEATS@", str(repeats))
     )
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     out = subprocess.run(
@@ -98,8 +113,9 @@ def main():
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     body_words = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
     label = sys.argv[4] if len(sys.argv) > 4 else ""
-    small = run_at(n_small, hosts, body_words)
-    big = run_at(4 * n_small, hosts, body_words)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    small = run_at(n_small, hosts, body_words, repeats)
+    big = run_at(4 * n_small, hosts, body_words, repeats)
 
     def eff(key):
         sp = big[key] / small[key]
@@ -113,6 +129,9 @@ Same deterministic corpus ({hosts} hosts, {small['pages']} pages, mega-host
 skew, robots), two parallelism levels in fresh JVMs — the sandbox
 stand-in for N vs 4N executors per the driver instructions (no real
 cluster available here). north_rule target: efficiency ≥ 0.8.
+Each wall below is the MIN of {repeats} back-to-back runs per leg
+(single-shot walls vary 10-30% run-to-run on this box; all raw walls
+in the JSON at the bottom).
 
 ## Fetch+extraction stage (one job over the corpus — work-dominated)
 
