@@ -24,6 +24,8 @@ agree without shipping state.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,40 @@ def hyperplane_band_values(
             val = val + bits[b * width + i] * F.lit(1 << i)
         out.append(val.cast("int"))
     return out
+
+
+def hyperplane_band_values_np(
+    n_planes: int = 48, bands: int = 6, seed: int = PLANE_SEED, dim: int = 64
+):
+    """Arrow-batched numpy form of ``hyperplane_band_values``: ONE
+    matmul per batch computes every sign bit ((n, dim) @ (dim, planes)),
+    then bits pack into ``bands`` ints. ~100× the Catalyst
+    expression-tree form, which evaluates an interpreted lambda per
+    array element (n_planes × dim evals per ROW). Use where the band
+    values feed candidate GENERATION only (recall, verified exactly
+    downstream) — the float64 summation order differs from the
+    left-fold `dot`, so a dot product within ~1e-12 of zero could pack
+    a different bit than the SQL-literal oracle replica; candidate
+    banding tolerates that, bucket-replica oracles (ann_lsh_topk) keep
+    the expression form. Assumes fixed-width embeddings (``dim``)."""
+    import numpy as np
+
+    planes = np.array([hyperplane(p, dim, seed) for p in range(n_planes)])  # (P, dim)
+    width = n_planes // bands
+
+    @F.pandas_udf("array<int>")
+    def _bands(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        v = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)  # (n, dim)
+        bits = (v @ planes.T) >= 0  # (n, P)
+        vals = np.zeros((len(emb), bands), dtype=np.int32)
+        for b in range(bands):
+            for i in range(width):
+                vals[:, b] |= bits[:, b * width + i].astype(np.int32) << i
+        return pd.Series(list(vals))
+
+    return _bands
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +196,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 
     return ranked.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def _with_cell(emb: DataFrame, cent_list: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as an array argmax: one projection
+    evaluates every centroid similarity once, array_position picks the
+    FIRST max index (first-wins ties — same semantics as a sequential
+    strictly-greater scan over centroids in index order). The naive
+    when-chain form duplicates the running best subtree twice per
+    centroid — 2^n copies of interpreted aggregate dots."""
+    sims = [
+        dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))
+        / (F.col("norm") * F.lit(sum(x * x for x in cvec) ** 0.5))
+        for cvec in cent_list
+    ]
+    return emb.select("*", F.array(*sims).alias("sims")).select(
+        "*",
+        (F.array_position(F.col("sims"), F.array_max("sims")).cast("int") - 1).alias("cell"),
+    ).drop("sims")
+
+
 def train_ivf_centroids(
     emb: DataFrame, n_cells: int = 8, n_iter: int = 3
 ) -> list[list[float]]:
@@ -176,19 +230,9 @@ def train_ivf_centroids(
         for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     ]
 
-    def assign_expr(cent_list):
-        best = None
-        for ci, cvec in enumerate(cent_list):
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            cn = sum(x * x for x in cvec) ** 0.5
-            sim = dot(F.col("embedding"), carr) / (F.col("norm") * F.lit(cn))
-            pair = F.struct(sim.alias("s"), F.lit(ci).alias("cell"))
-            best = pair if best is None else F.when(pair["s"] > best["s"], pair).otherwise(best)
-        return best["cell"]
-
     dim = len(cents[0])
     for _ in range(n_iter):
-        assigned = e.withColumn("cell", assign_expr(cents))
+        assigned = _with_cell(e, cents)
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cell", "dim")
@@ -216,16 +260,6 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: in
     q = query_vector(spark, sf_dir, query_id)
     qnorm = sum(x * x for x in q) ** 0.5
 
-    def assign_expr():
-        best = None
-        for ci, cvec in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            cn = sum(x * x for x in cvec) ** 0.5
-            sim = dot(F.col("embedding"), carr) / (F.col("norm") * F.lit(cn))
-            pair = F.struct(sim.alias("s"), F.lit(ci).alias("cell"))
-            best = pair if best is None else F.when(pair["s"] > best["s"], pair).otherwise(best)
-        return best["cell"]
-
     def cos_py(a, b):
         import math
 
@@ -241,7 +275,7 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: in
     qcol = F.array(*[F.lit(float(x)) for x in q])
     cos = dot(F.col("embedding"), qcol) / (F.col("norm") * F.lit(qnorm))
     ranked = (
-        emb.withColumn("cell", assign_expr())
+        _with_cell(emb, cents)
         .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != query_id))
         .withColumn("cosine", cos)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -309,16 +343,28 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0,
     q = query_vector(spark, sf_dir, query_id)
     qnorm = sum(x * x for x in q) ** 0.5
 
-    def cell_expr():
-        best = None
-        for c in cents:
-            cvec = F.array(*[F.lit(float(x)) for x in c["embedding"]])
-            sim = dot(F.col("embedding"), cvec) / (F.col("norm") * F.lit(c["norm"]))
-            pair = F.struct(sim.alias("s"), F.lit(int(c["vec_id"])).alias("cell"))
-            best = pair if best is None else F.when(pair["s"] > best["s"], pair).otherwise(best)
-        return best["cell"]
-
-    assigned = emb.withColumn("cell", cell_expr())
+    # argmax over an ARRAY of the 8 cell similarities — each sim is
+    # evaluated once in its own projection (the multi-referenced
+    # non-trivial alias blocks CollapseProject). The previous when-chain
+    # (best = when(pair.s > best.s, pair).otherwise(best)) embedded the
+    # running `best` subtree TWICE per centroid — 2^n_cells copies of
+    # the first interpreted `aggregate` dot product. array_position
+    # takes the FIRST index achieving the max, preserving the chain's
+    # first-wins tie behavior (cents are ordered by vec_id).
+    sims = [
+        dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c["embedding"]]))
+        / (F.col("norm") * F.lit(c["norm"]))
+        for c in cents
+    ]
+    cell_ids = F.array(*[F.lit(int(c["vec_id"])) for c in cents])
+    assigned = emb.select("*", F.array(*sims).alias("sims")).select(
+        "*",
+        # try_element_at: ANSI-safe if array_position ever returned 0
+        # (possible only with NaN sims, i.e. a zero-norm embedding)
+        F.try_element_at(
+            cell_ids, F.array_position(F.col("sims"), F.array_max("sims")).cast("int")
+        ).alias("cell"),
+    )
 
     def cos_py(a, b):
         import math
