@@ -58,7 +58,8 @@ def force(df) -> None:
 
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
-    from goskyr_spark.ops.dedup import shingle_table, simhash_fingerprints
+    from goskyr_spark.ops.dedup import (
+        embedding_tables, shingle_table, simhash_fingerprints)
 
     qs = entrymod.queries()
     # session warmup (JVM/codegen/python-worker startup) so the first
@@ -74,6 +75,8 @@ def bench_queries(spark) -> dict[str, float]:
     t0 = time.time()
     shingle_table(spark, SF_DIR).count()
     simhash_fingerprints(spark, SF_DIR).count()
+    for t in embedding_tables(spark, SF_DIR):
+        t.count()
     out["dedup_intermediates_build"] = round(time.time() - t0, 3)
     for name in BENCH_QUERIES:
         fn = qs[name]

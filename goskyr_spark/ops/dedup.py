@@ -577,6 +577,49 @@ def simhash_dup_pairs(
 
 # ----------------------------------------------------------- embedding
 
+def embedding_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 48,
+    bands: int = 6,
+    plant: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized corpus-adjacent embedding intermediates (same
+    write-once discipline as the shingle table): the normed vectors are
+    read three times by the near-dup op (band source + both verify
+    sides) and the banded signatures TWICE (the candidate self-join
+    would re-evaluate the signature computation per side otherwise).
+    Signatures come from the Arrow-batched numpy path
+    (similarity.hyperplane_band_values_np) — banding feeds candidate
+    generation only; cosines are exact-verified downstream in the
+    oracle-replica double arithmetic. Returns (normed, banded)."""
+    from .similarity import hyperplane_band_values_np, with_norm
+
+    def build_norm():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        if plant:
+            copies = emb.filter(F.col("vec_id") < PLANT_N).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+            )
+            emb = emb.unionByName(copies)
+        return with_norm(emb)
+
+    e = _materialized(spark, ("emb_norm", sf_dir, plant), build_norm)
+    banded = _materialized(
+        spark,
+        ("emb_banded", sf_dir, n_planes, bands, plant),
+        lambda: e.select(
+            "vec_id",
+            hyperplane_band_values_np(n_planes=n_planes, bands=bands)(
+                F.col("embedding")
+            ).alias("bv"),
+        ).select("vec_id", *[F.col("bv")[i].alias(f"band{i}") for i in range(bands)]),
+    )
+    return e, banded
+
+
 def embedding_cosine_dups(
     spark: SparkSession,
     sf_dir: str,
@@ -602,37 +645,9 @@ def embedding_cosine_dups(
     result (and its DuckDB all-pairs oracle) is non-vacuous — the
     driver corpus has no natural cos ≥ 0.99 pair (measured max 0.513).
     """
-    from .similarity import dot, hyperplane_band_values_np, with_norm
+    from .similarity import dot
 
-    def build_norm():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-        if plant:
-            copies = emb.filter(F.col("vec_id") < PLANT_N).withColumn(
-                "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
-            )
-            emb = emb.unionByName(copies)
-        return with_norm(emb)
-
-    # Materialized corpus-adjacent intermediates (same discipline as the
-    # shingle table): the norms are read three times (band source + both
-    # verify sides) and the banded signatures TWICE (the candidate
-    # self-join would re-evaluate the whole signature computation per
-    # side otherwise). Signatures come from the Arrow-batched numpy
-    # path — banding feeds candidate generation only; the output cosine
-    # is exact-verified below in the oracle-replica double arithmetic.
-    e = _materialized(spark, ("emb_norm", sf_dir, plant), build_norm)
-    banded = _materialized(
-        spark,
-        ("emb_banded", sf_dir, n_planes, bands, plant),
-        lambda: e.select(
-            "vec_id",
-            hyperplane_band_values_np(n_planes=n_planes, bands=bands)(
-                F.col("embedding")
-            ).alias("bv"),
-        ).select("vec_id", *[F.col("bv")[i].alias(f"band{i}") for i in range(bands)]),
-    )
+    e, banded = embedding_tables(spark, sf_dir, n_planes=n_planes, bands=bands, plant=plant)
     stack_expr = "stack({}, {}) as (band_idx, band_val)".format(
         bands, ", ".join(f"{b}, band{b}" for b in range(bands))
     )

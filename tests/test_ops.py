@@ -295,3 +295,26 @@ def test_training_prep_pipeline(spark):
     assert all(r["doc_id"] < PLANT_OFFSET for r in rows)
     assert all(r["lang_pred"] == "en" for r in rows)
     assert all(r["n_tokens"] >= 10 and r["n_stopwords"] >= 1 for r in rows)
+
+
+def test_numpy_banding_matches_expression_form(spark):
+    """hyperplane_band_values_np (Arrow-batched numpy matmul) packs the
+    same band values as the Catalyst expression form on the real corpus
+    (float64 summation-order differences would only matter for a dot
+    product within ~1e-12 of zero, which does not occur here)."""
+    from goskyr_spark.ops.similarity import (
+        _emb, hyperplane_band_values, hyperplane_band_values_np)
+
+    emb = _emb(spark, SF)
+    expr_bands = emb.select(
+        "vec_id",
+        *[b.alias(f"b{i}") for i, b in enumerate(
+            hyperplane_band_values(F.col("embedding"), n_planes=48, bands=6))],
+    )
+    np_bands = emb.select(
+        "vec_id",
+        hyperplane_band_values_np(n_planes=48, bands=6)(F.col("embedding")).alias("bv"),
+    ).select("vec_id", *[F.col("bv")[i].alias(f"b{i}") for i in range(6)])
+    a = {r["vec_id"]: tuple(r[f"b{i}"] for i in range(6)) for r in expr_bands.collect()}
+    b = {r["vec_id"]: tuple(r[f"b{i}"] for i in range(6)) for r in np_bands.collect()}
+    assert a == b
