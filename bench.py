@@ -86,9 +86,11 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
-def bench_crawl(spark, spec=None, metrics: str = "fast") -> tuple[float, int, float]:
+def bench_crawl(
+    spark, spec=None, metrics: str = "fast"
+) -> tuple[float, int, float, list[float]]:
     """Full crawl to completion on a deterministic corpus; returns
-    (urls_per_sec_per_core, urls, wall_s)."""
+    (urls_per_sec_per_core, urls, min_wall_s, all_wall_s)."""
     from goskyr_spark.crawl.bloom import BloomSpec
     from goskyr_spark.crawl.rounds import CrawlRun
     from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots

@@ -72,6 +72,12 @@ FRONTIER_B = T.StructType(
     list(schemas.FRONTIER.fields) + [T.StructField("bucket", T.IntegerType(), True)]
 )
 
+# Cross-window canonicalization memo bound (~300 B/entry -> <=150 MB per
+# task at the cap) and the pandas re-batch window size; both
+# overridable for tests exercising the overflow / multi-window paths.
+_MEMO_MAX = 500_000
+_WINDOW_ROWS = 131_072
+
 _SKIP_EXT = (
     ".avif", ".gif", ".jfif", ".jpeg", ".jpg", ".mp3", ".mp4",
     ".pdf", ".png", ".webp", ".zip", ".css", ".js", ".ico", ".svg",
@@ -118,9 +124,14 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
         # paid once per task-unique URL, not once per window-unique. The
         # size bound caps worker memory (~300 B/entry → ≲150 MB/task);
         # a full reset on overflow keeps the common case branch-free.
-        miss = [u for u in pd.unique(pdf["url"]) if u not in memo]
-        if len(memo) + len(miss) > 500_000:
+        uniq = pd.unique(pdf["url"])
+        # overflow check BEFORE computing misses: clearing after would
+        # drop already-memoized URLs the current window still references
+        # (KeyError in the lookup below). len(uniq) overestimates the
+        # additions (hits included) -- safe direction.
+        if len(memo) + len(uniq) > _MEMO_MAX:
             memo.clear()
+        miss = [u for u in uniq if u not in memo]
         for u in miss:
             memo[u] = frontier_triple(u)
         # plain dict lookups — Series.map(dict) materializes the WHOLE
@@ -149,7 +160,7 @@ def to_frontier(urls: DataFrame, spec: BloomSpec, priority_col="priority",
                 continue
             buf.append(pdf)
             n += len(pdf)
-            if n >= 131_072:
+            if n >= _WINDOW_ROWS:
                 yield _emit(pd.concat(buf, ignore_index=True), memo)
                 buf, n = [], 0
         if buf:
@@ -455,6 +466,7 @@ class CrawlRun:
             return stats
         aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         shp_prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        self._conf_prev = (aqe_prev, shp_prev)
         if n_frontier <= self.aqe_min_frontier:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             # Right-size the round's shuffles to the frontier: a small/
@@ -471,8 +483,21 @@ class CrawlRun:
         try:
             return self._round_body(rnd, t0, frontier, n_frontier, defer=_defer)
         finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-            spark.conf.set("spark.sql.shuffle.partitions", shp_prev)
+            self._restore_conf()  # idempotent -- body restores after its job
+
+    def _restore_conf(self) -> None:
+        """Restore the session conf captured by run_round. Called by
+        _round_body IMMEDIATELY after the critical job (before the sink
+        flushes are submitted) so the async flush threads -- which plan
+        their writes whenever the pool schedules them -- always plan
+        under the session defaults, never under whatever round happens
+        to be overriding the conf at that moment; and again by
+        run_round's finally as the error-path safety net."""
+        prev = getattr(self, "_conf_prev", None)
+        if prev is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev[0])
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev[1])
+            self._conf_prev = None
 
     def _round_body(self, rnd: int, t0: float, frontier: DataFrame,
                     n_frontier: int, defer: bool = False) -> dict:
@@ -600,6 +625,10 @@ class CrawlRun:
         n_next = int(obs_next.get["n"])
         n_selected = int(obs_sel.get["n"])  # observed by the fused job
         t_parse_frontier = time.time() - t_pf0
+        # the critical job -- the only consumer of the small-round conf
+        # overrides -- is done; restore BEFORE submitting the flush
+        # threads so their plans never depend on round interleaving
+        self._restore_conf()
 
         # SINK FLUSHES: selected + records + blooms read only the caches
         # the fused job just filled; nothing in round N+1's critical

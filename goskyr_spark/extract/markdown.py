@@ -26,7 +26,10 @@ _BLOCK = {"p", "div", "section", "article", "header", "footer", "aside", "main",
 _HEADINGS = {f"h{i}": i for i in range(1, 7)}
 
 _LINE_START_HASH = re.compile(r"^(\s*)(#{1,6})(?=\s|$)")
-_LINE_START_MARKER = re.compile(r"^(\s*)([->+])(?=\s)")
+# '*' appears here AND in the emphasis pass: a space-flanked '*' is not
+# an emphasis delimiter (left alone there) but at a line start followed
+# by a space it IS a bullet marker — symmetric with '-'/'+'
+_LINE_START_MARKER = re.compile(r"^(\s*)([-*>+])(?=\s)")
 _LINE_START_ORDERED = re.compile(r"^(\s*)(\d{1,9})([.)])(?=\s)")
 
 

@@ -109,18 +109,49 @@ def _parquet_rows(path: str) -> int | None:
 
 # ------------------------------------------- materialized intermediates
 
-# (kind, corpus-path, params…) → parquet path. Write-once per session:
-# the shingle and fingerprint tables are shared by every dedup operator
-# over the same corpus — the 100-TB pipeline materializes them as real
-# corpus-adjacent tables for exactly this reason (VERDICT r2 #4: the
-# dedup suite previously recomputed shingles from raw text per query).
+# (kind, corpus-path, corpus-token, params…) → parquet path. Write-once
+# per session: the shingle and fingerprint tables are shared by every
+# dedup operator over the same corpus — the 100-TB pipeline
+# materializes them as real corpus-adjacent tables for exactly this
+# reason (VERDICT r2 #4: the dedup suite previously recomputed shingles
+# from raw text per query). The key carries a source-mtime token so a
+# corpus REWRITTEN at the same path within one process invalidates its
+# intermediates; created dirs are removed at interpreter exit.
 _INTERMEDIATE_CACHE: dict[tuple, str] = {}
+_INTERMEDIATE_DIRS: list[str] = []
+
+
+def _corpus_token(sf_dir: str, table: str) -> tuple:
+    """Identity token for the source table: (path, max mtime_ns). A
+    rewrite at the same path changes the token and invalidates every
+    intermediate keyed on it."""
+    p = os.path.join(os.path.abspath(sf_dir), table)
+    try:
+        if os.path.isdir(p):
+            mt = max(
+                (os.stat(os.path.join(p, f)).st_mtime_ns for f in os.listdir(p)),
+                default=0,
+            )
+        else:
+            mt = os.stat(p).st_mtime_ns
+    except OSError:
+        mt = 0
+    return (p, mt)
 
 
 def _materialized(spark: SparkSession, key: tuple, build) -> DataFrame:
     path = _INTERMEDIATE_CACHE.get(key)
     if path is None or not os.path.isdir(path):
-        path = os.path.join(tempfile.mkdtemp(prefix="goskyr_dedup_"), "data")
+        root = tempfile.mkdtemp(prefix="goskyr_dedup_")
+        if not _INTERMEDIATE_DIRS:
+            import atexit
+            import shutil
+
+            atexit.register(
+                lambda: [shutil.rmtree(d, ignore_errors=True) for d in _INTERMEDIATE_DIRS]
+            )
+        _INTERMEDIATE_DIRS.append(root)
+        path = os.path.join(root, "data")
         build().write.mode("overwrite").parquet(path)
         _INTERMEDIATE_CACHE[key] = path
     return spark.read.parquet(path)
@@ -146,7 +177,7 @@ def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
 def shingle_table(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """The materialized (doc_id, shingles) table for a corpus — built
     once per session, reused by minhash/simhash/char-LSH/ngram."""
-    key = ("shingles", os.path.abspath(sf_dir), k)
+    key = ("shingles", _corpus_token(sf_dir, "documents.parquet"), k)
     return _materialized(spark, key, lambda: _shingle_arrays(_docs(spark, sf_dir), k))
 
 
@@ -480,7 +511,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized (doc_id, simhash) table — built once per corpus per
     session; both the banding and the Hamming-verify join read it (the
     round-2 form persist()ed and leaked instead)."""
-    key = ("simhash", os.path.abspath(sf_dir))
+    key = ("simhash", _corpus_token(sf_dir, "documents.parquet"))
     return _materialized(spark, key, lambda: _simhash_fingerprints(_docs(spark, sf_dir)))
 
 
@@ -606,10 +637,11 @@ def embedding_tables(
             emb = emb.unionByName(copies)
         return with_norm(emb)
 
-    e = _materialized(spark, ("emb_norm", sf_dir, plant), build_norm)
+    tok = _corpus_token(sf_dir, "embeddings.parquet")
+    e = _materialized(spark, ("emb_norm", tok, plant), build_norm)
     banded = _materialized(
         spark,
-        ("emb_banded", sf_dir, n_planes, bands, plant),
+        ("emb_banded", tok, n_planes, bands, plant),
         lambda: e.select(
             "vec_id",
             hyperplane_band_values_np(n_planes=n_planes, bands=bands)(

@@ -411,3 +411,50 @@ def test_aqe_toggle_equivalence(spark, tmp_path):
     on = crawl(str(tmp_path / "on"), 0)         # threshold 0 -> AQE stays on
     assert off[["url", "round_id", "visit_rank"]].values.tolist() == \
         on[["url", "round_id", "visit_rank"]].values.tolist()
+
+
+def test_to_frontier_memo_overflow(spark, monkeypatch):
+    """Regression: when the cross-window canonicalization memo crosses
+    its bound mid-task, the reset must not drop entries the CURRENT
+    window still references (a post-miss clear raised KeyError and
+    killed the round's critical-path job). Bound shrunk to force the
+    overflow path; output must equal the unbounded-memo output."""
+    from goskyr_spark.crawl import rounds as rmod
+    from goskyr_spark.crawl.bloom import BloomSpec
+
+    spec = BloomSpec(n_buckets=4, bits_per_bucket=1 << 12)
+    # every window mixes RECURRING urls (memo hits) with NEW urls (memo
+    # misses that trip the bound) — the pre-fix clear-after-miss dropped
+    # exactly the hit entries the window still referenced (KeyError)
+    # recurring urls derive ONLY from i % 50 (host included) so every
+    # window shares them; odd rows are globally unique (misses)
+    urls = [
+        (
+            f"https://host{(i % 50) % 7:02d}.example.com/page/{i % 50}"
+            if i % 2 == 0
+            else f"https://host{i % 7:02d}.example.com/page/n{i}",
+            float(i % 3),
+            0,
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(urls, "url string, priority double, depth int").coalesce(1)
+    baseline = sorted(
+        (r["url"], r["priority"]) for r in rmod.to_frontier(df, spec).collect()
+    )
+    # 100-row windows + a 50-entry memo bound: every window overflows
+    # while still referencing memoized URLs from previous windows. The
+    # re-batcher only splits BETWEEN Arrow batches, so the Arrow batch
+    # size must shrink too or the whole input arrives as one window.
+    monkeypatch.setattr(rmod, "_MEMO_MAX", 50)
+    monkeypatch.setattr(rmod, "_WINDOW_ROWS", 100)
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    arrow_prev = spark.conf.get(arrow_key)
+    spark.conf.set(arrow_key, "50")
+    try:
+        overflowed = sorted(
+            (r["url"], r["priority"]) for r in rmod.to_frontier(df, spec).collect()
+        )
+    finally:
+        spark.conf.set(arrow_key, arrow_prev)
+    assert overflowed == baseline

@@ -239,6 +239,9 @@ def test_markdown_character_escaping():
     # block leaders only at a line start: ATX #, list markers, ordered
     assert html_to_markdown("<p># not a heading</p>") == "\\# not a heading"
     assert html_to_markdown("<p>- not a list</p>") == "\\- not a list"
+    # '*' bullet at a line start: not emphasis (space-flanked) but IS a
+    # list marker — escaped symmetrically with '-'/'+'
+    assert html_to_markdown("<p>* not a list</p>") == "\\* not a list"
     assert html_to_markdown("<p>1. not ordered</p>") == "1\\. not ordered"
     # ...but the same chars mid-line stay literal
     assert html_to_markdown("<p>issue # 7 - fixed</p>") == "issue # 7 - fixed"

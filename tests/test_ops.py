@@ -318,3 +318,37 @@ def test_numpy_banding_matches_expression_form(spark):
     a = {r["vec_id"]: tuple(r[f"b{i}"] for i in range(6)) for r in expr_bands.collect()}
     b = {r["vec_id"]: tuple(r[f"b{i}"] for i in range(6)) for r in np_bands.collect()}
     assert a == b
+
+
+def test_materialized_intermediates_invalidate_on_corpus_rewrite(spark, tmp_path):
+    """The write-once intermediate cache keys on (path, source mtime):
+    same-path reuse is a cache hit (no rebuild), but REWRITING the
+    corpus at the same path must invalidate and rebuild — a stale
+    shingle table silently corrupts every dedup operator downstream."""
+    from goskyr_spark.ops import dedup
+
+    p = str(tmp_path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 0)], schema
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+
+    first = dedup.shingle_table(spark, p)
+    assert first.count() == 1
+    path_first = dedup._INTERMEDIATE_CACHE[
+        ("shingles", dedup._corpus_token(p, "documents.parquet"), 3)]
+    # same corpus, second call: cache hit, same materialized parquet
+    again = dedup.shingle_table(spark, p)
+    assert again.count() == 1
+    assert dedup._INTERMEDIATE_CACHE[
+        ("shingles", dedup._corpus_token(p, "documents.parquet"), 3)] == path_first
+
+    # rewrite at the SAME path -> token changes -> rebuild reflects it
+    import time as _t
+    _t.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 0),
+         (2, "epsilon zeta eta theta", "en", "s", 0)], schema
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+    rebuilt = dedup.shingle_table(spark, p)
+    assert rebuilt.count() == 2
