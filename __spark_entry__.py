@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_jaccard_lsh": dedup.char_jaccard_lsh_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.simhash_dup_pairs,
         "dedup_embedding_cosine": dedup.embedding_cosine_dups,
         # similarity search
@@ -422,6 +423,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
         """,
         "dedup_simhash": _simhash_oracle(),
+        # transitive closure of the verified near-dup pair set: min-label
+        # reachability as a recursive CTE == the Spark side's
+        # large-star/small-star connected components (ops/dedup.py)
+        "dedup_clusters": _SHINGLE_CTE.replace("WITH w AS", "WITH RECURSIVE w AS", 1) + """
+            , prs AS (SELECT doc_a, doc_b FROM pairs_j WHERE jaccard >= 0.8),
+            ed AS (SELECT doc_a AS u, doc_b AS v FROM prs
+                   UNION SELECT doc_b, doc_a FROM prs),
+            reach(node, r) AS (
+                SELECT u, u FROM ed
+                UNION
+                SELECT ed.u, reach.r FROM ed JOIN reach ON reach.node = ed.v)
+            SELECT node AS doc_id, MIN(r) AS component, (node = MIN(r)) AS keep
+            FROM reach GROUP BY node
+        """,
         "dedup_char_jaccard_lsh": _SHINGLE_CTE + """
             , c AS (SELECT doc_id, list_distinct(string_split(text, '')) AS chars
                     FROM documents)

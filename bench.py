@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "visited_dedup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_char_jaccard_lsh",
     "dedup_ngram_jaccard",

@@ -701,3 +701,97 @@ def embedding_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# -------------------------------------------------- cluster formation
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a dup-pair edge set via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the standard
+    O(log n)-round formulation for commodity-cluster CC. Returns
+    ``(node, component)`` with component = MIN node id reachable.
+
+    Why not label propagation: hash-min propagation needs O(diameter)
+    rounds; star contraction halves tree heights every round, so a
+    pathological 10^6-long dup chain converges in ~20 rounds instead of
+    10^6. Every round is two linear shuffles (groupBy node); there is
+    no unblocked self-join anywhere. Each iteration CHECKPOINTS its
+    edge set (localCheckpoint here; the 100-TB pipeline writes
+    per-iteration parquet exactly like the crawl's round checkpoints):
+    persist() alone keeps the logical plan, which doubles per iteration
+    (e appears twice in sym, sym twice in lg) and OOMs the driver just
+    stringifying the tree by iteration ~3 — lineage MUST be cut, not
+    merely cached.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # LARGE-STAR: for every node u, connect each strictly-larger
+        # neighbor to m = min(N(u) + {u}). Works on the symmetric form.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: edges are now directed larger->smaller; for every
+        # node u connect u and each smaller neighbor to m = min(N(u)).
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
+        children = (
+            lg.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_e = (
+            children.union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # set equality: both sides are distinct, so subset + same count
+        converged = new_e.exceptAll(e).isEmpty() and new_e.count() == e.count()
+        e = new_e
+        if converged:
+            break
+    # e is a star forest (child -> component root); roots map to selves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup CLUSTER formation + canonical selection — the operator
+    a training pipeline actually runs after pairwise dedup: verified
+    minhash-LSH pairs (candidates -> exact Jaccard >= threshold) become
+    an edge set, connected components group transitive dup chains
+    (A~B, B~C => {A,B,C} even when A~C is below threshold), and the
+    MIN doc_id of each component is kept as the canonical survivor.
+
+    Output: (doc_id, component, keep) for every doc touched by a dup
+    pair; keep marks the survivor. Oracle: DuckDB recursive CTE over
+    the identical exact-Jaccard pair set.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

@@ -352,3 +352,57 @@ def test_materialized_intermediates_invalidate_on_corpus_rewrite(spark, tmp_path
     ).write.mode("overwrite").parquet(p + "/documents.parquet")
     rebuilt = dedup.shingle_table(spark, p)
     assert rebuilt.count() == 2
+
+
+# ------------------------------------------------- cluster formation
+
+def test_connected_components_chain_triangle_isolated(spark):
+    """Adversarial shapes for star contraction: a 60-long chain (deep
+    tree — label propagation would need 60 rounds, contraction ~6), a
+    triangle, and an isolated edge."""
+    from goskyr_spark.ops.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(59)]
+    edges = spark.createDataFrame(
+        chain + [(200, 201), (201, 202), (200, 202), (500, 501)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(comp[i] == 0 for i in range(60))
+    assert comp[200] == comp[201] == comp[202] == 200
+    assert comp[500] == comp[501] == 500
+    assert len(comp) == 60 + 3 + 2
+
+
+def test_connected_components_empty_and_self_loop(spark):
+    from goskyr_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame([(7, 7)], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """A~B and B~C above threshold but A~C BELOW it: pairwise dedup
+    alone would keep A and C as 'unique'; cluster formation must group
+    all three and keep only the min doc_id. Word-level construction:
+    60 distinct tokens, 4-word head/tail edits => adjacent Jaccard
+    (54/62 = 0.871) >= 0.8, end-to-end Jaccard (50/66 = 0.758) < 0.8."""
+    from goskyr_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    words = [f"tok{i}" for i in range(60)]
+    x0 = " ".join(words)
+    x1 = " ".join(words[:56] + [f"alt{i}" for i in range(4)])
+    x2 = " ".join([f"zed{i}" for i in range(4)] + words[4:56] + [f"alt{i}" for i in range(4)])
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(0, x0, "en", "s", 0), (1, x1, "en", "s", 0), (2, x2, "en", "s", 0)]
+    rows += [(10 + i, f"noise doc {i} " + " ".join(f"n{i}_{j}" for j in range(30)), "en", "s", 0)
+             for i in range(10)]
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/documents.parquet")
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, p).collect()}
+    assert pairs == {(0, 1), (1, 2)}  # the A~C edge is genuinely absent
+
+    got = {r.doc_id: (r.component, r.keep) for r in dedup_clusters(spark, p).collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (0, False)}
