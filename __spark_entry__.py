@@ -16,7 +16,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goskyr_spark.ops import dedup, multimodal, relational, similarity, textstats, trainprep
+from goskyr_spark.ops import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    textstats,
+    trainprep,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -81,6 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_signals": textstats.quality_signals,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
+        "text_pii_redact": textstats.pii_redact,
+        # training-mix construction (deterministic md5-keyed sampling,
+        # stratum accounting, exact percentiles)
+        "sample_stratified": sampling.stratified_sample,
+        "quality_rollup": sampling.quality_rollup,
+        "length_percentiles": sampling.length_percentiles,
         # composed training-data-prep pipeline (dedup → lang gate →
         # quality gate → token accounting as ONE Catalyst plan)
         "pipeline_training_prep": trainprep.training_prep,
@@ -593,6 +607,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr > 0 THEN 'fr'
                         ELSE 'und' END AS lang_guess
             FROM s
+        """,
+        "text_pii_redact": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS redacted_md5
+            FROM documents
+        """,
+        # 60-bit md5 sampling key; thresholds = rate * 2^60 as exact
+        # integer literals (en 0.25, de/es/fr/zh 0.75, default 1.0)
+        "sample_stratified": """
+            WITH k AS (
+                SELECT doc_id, lang, source,
+                       CAST('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sample_key
+                FROM documents)
+            SELECT doc_id, lang, source, sample_key FROM k
+            WHERE sample_key < CASE lang
+                WHEN 'en' THEN 288230376151711744
+                WHEN 'zh' THEN 864691128455135232
+                WHEN 'es' THEN 864691128455135232
+                WHEN 'de' THEN 864691128455135232
+                WHEN 'fr' THEN 864691128455135232
+                ELSE 1152921504606846976 END
+        """,
+        "quality_rollup": """
+            SELECT source, lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+                   CAST(SUM(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for)\\b'))) AS BIGINT) AS total_stopwords,
+                   AVG(CAST(length(text) AS DOUBLE)) AS avg_chars
+            FROM documents GROUP BY source, lang
+        """,
+        "length_percentiles": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99_chars
+            FROM documents GROUP BY lang
         """,
         "pipeline_training_prep": """
             WITH d AS (

@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "pipeline_training_prep",
     "text_token_counts",
+    "text_pii_redact",
+    "sample_stratified",
+    "quality_rollup",
+    "length_percentiles",
     "text_quality_signals",
     "text_lang_id",
     "text_doc_fingerprint",

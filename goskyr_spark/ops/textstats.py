@@ -78,6 +78,35 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, \b and \d only. Applied in
+# a fixed order (email → phone → ipv4) on both sides so overlapping
+# matches resolve the same way.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: count + replace emails, phone
+    numbers, and IPv4 addresses with typed placeholders. Pure
+    regexp_count/regexp_replace chain — whole-stage codegen, no UDF, no
+    shuffle (per-row map). Output carries match counts per category and
+    the md5 of the redacted text (compact exact equality for the
+    oracle without shipping full redacted bodies through the compare).
+    """
+    docs = _docs(spark, sf_dir)
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}") for name, pat in PII_PATTERNS
+    ]
+    red = F.col("text")
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram
     rolling hashes → min hash within each sliding window → distinct

@@ -406,3 +406,64 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
 
     got = {r.doc_id: (r.component, r.keep) for r in dedup_clusters(spark, p).collect()}
     assert got == {0: (0, True), 1: (0, False), 2: (0, False)}
+
+
+# ------------------------------------------- training-mix construction
+
+def test_pii_redact_planted(spark, tmp_path):
+    """Planted PII (the sf tables carry none): counts per category and
+    byte-exact redacted text via its md5."""
+    import hashlib
+    from goskyr_spark.ops.textstats import pii_redact
+
+    txt = "mail a@b.com or x.y+z@mail.co, call 555-123-4567, ip 10.0.0.1 end"
+    want = "mail <EMAIL> or <EMAIL>, call <PHONE>, ip <IPV4> end"
+    clean = "no pii here at all"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(0, txt, "en", "s", 0), (1, clean, "en", "s", 0)], schema
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+
+    got = {r.doc_id: r for r in pii_redact(spark, p).collect()}
+    assert (got[0].n_email, got[0].n_phone, got[0].n_ipv4) == (2, 1, 1)
+    assert got[0].redacted_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (0, 0, 0)
+    assert got[1].redacted_md5 == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same input → identical sample set (pure function of doc_id);
+    head-language rate ~0.25, tail ~0.75; zero-shuffle plan."""
+    from goskyr_spark.ops.sampling import stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = {r.doc_id for r in stratified_sample(spark, sf).collect()}
+    b = {r.doc_id for r in stratified_sample(spark, sf).collect()}
+    assert a == b and a
+    rows = stratified_sample(spark, sf).groupBy("lang").count().collect()
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(sf + "/documents.parquet")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = {r.lang: r["count"] / totals[r.lang] for r in rows}
+    assert 0.10 <= rates["en"] <= 0.40          # nominal 0.25, 218 docs
+    assert all(0.55 <= rates[l] <= 0.95 for l in ("zh", "es", "de", "fr"))
+    plan = stratified_sample(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_length_percentiles_exact(spark, tmp_path):
+    """Known distribution: n_chars = 1..101 → p50 = 51 exactly, p90 =
+    91, p99 = 100 (linear interpolation on 101 points)."""
+    from goskyr_spark.ops.sampling import length_percentiles
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, "x", "en", "s", i + 1) for i in range(101)]
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/documents.parquet")
+    r = length_percentiles(spark, p).collect()[0]
+    assert (r.lang, r.n_docs) == ("en", 101)
+    assert (r.p50_chars, r.p90_chars, r.p99_chars) == (51.0, 91.0, 100.0)
