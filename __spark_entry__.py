@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from goskyr_spark.ops import (
     dedup,
+    events,
     multimodal,
     relational,
     sampling,
@@ -95,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sampling.stratified_sample,
         "quality_rollup": sampling.quality_rollup,
         "length_percentiles": sampling.length_percentiles,
+        # event-stream analytics (batch twins of streaming/ingest.py)
+        "events_sessionize": events.sessionize,
+        "events_window_agg": events.window_agg,
         # composed training-data-prep pipeline (dedup → lang gate →
         # quality gate → token accounting as ONE Catalyst plan)
         "pipeline_training_prep": trainprep.training_prep,
@@ -653,6 +657,37 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
                    quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99_chars
             FROM documents GROUP BY lang
+        """,
+        # 30-min-gap sessionization: lag → new-session flag → running
+        # sum, identical window spec on both engines; epoch micros cross
+        # the boundary as exact longs
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events),
+            f AS (
+                SELECT user_id, event_id, ts_us, value,
+                       CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+                FROM o),
+            s AS (
+                SELECT user_id, ts_us, value,
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq
+                FROM f)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+                   COUNT(*) AS n_events, SUM(value) AS total_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        # tumbling 60-min windows; Spark's window() aligns to the unix
+        # epoch, so start = ts_us - ts_us % 3.6e9 (all test data > 1970)
+        "events_window_agg": """
+            SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start_us,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(value) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "pipeline_training_prep": """
             WITH d AS (

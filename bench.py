@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "sample_stratified",
     "quality_rollup",
     "length_percentiles",
+    "events_sessionize",
+    "events_window_agg",
     "text_quality_signals",
     "text_lang_id",
     "text_doc_fingerprint",

@@ -467,3 +467,60 @@ def test_length_percentiles_exact(spark, tmp_path):
     r = length_percentiles(spark, p).collect()[0]
     assert (r.lang, r.n_docs) == ("en", 101)
     assert (r.p50_chars, r.p90_chars, r.p99_chars) == (51.0, 91.0, 100.0)
+
+
+# ------------------------------------------------ event-stream analytics
+
+def _write_events(spark, tmp_path, rows):
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/events.parquet")
+    return p
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """Exactly-30-min gap stays in-session (> , not >=); 30min + 1µs
+    opens a new one; single-event users form singleton sessions."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=30), 1, "view", 2.0, "{}"),          # gap == 30min → same
+        (2, t0 + dt.timedelta(minutes=60) + us, 1, "click", 4.0, "{}"),    # gap 30min+1µs → new
+        (3, t0, 2, "view", 8.0, "{}"),
+    ]
+    p = _write_events(spark, tmp_path, rows)
+    from goskyr_spark.ops.events import sessionize
+
+    got = {(r.user_id, r.session_seq): r for r in sessionize(spark, p).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert (got[(1, 1)].n_events, got[(1, 1)].total_value) == (2, 3.0)
+    assert got[(1, 1)].session_end_us - got[(1, 1)].session_start_us == 30 * 60 * 1_000_000
+    assert got[(1, 2)].n_events == 1
+    assert got[(2, 1)].n_events == 1
+
+
+def test_window_agg_epoch_aligned(spark, tmp_path):
+    """Tumbling 60-min windows align to the epoch hour; distinct users
+    exact; one-shuffle partial-agg plan."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 59, 59)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=2), 1, "view", 2.0, "{}"),   # next hour
+        (2, t0 + dt.timedelta(seconds=3), 2, "view", 4.0, "{}"),
+    ]
+    p = _write_events(spark, tmp_path, rows)
+    from goskyr_spark.ops.events import window_agg
+
+    got = {r.window_start_us: r for r in window_agg(spark, p).collect()}
+    h10 = int(dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    h11 = h10 + 3_600_000_000
+    assert set(got) == {h10, h11}
+    assert (got[h10].n_events, got[h10].n_users) == (1, 1)
+    assert (got[h11].n_events, got[h11].n_users, got[h11].total_value) == (2, 2, 6.0)
