@@ -206,3 +206,32 @@ def test_bucketed_pages_join_avoids_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+
+
+def test_stratified_sample_prunes_text_and_never_shuffles(spark):
+    """The sampling key derives from doc_id alone, so the scan must NOT
+    read the (dominant) text column and the plan must be shuffle-free —
+    at 100 TB this is the difference between a metadata-light filter
+    scan and moving the corpus."""
+    from goskyr_spark.ops.sampling import stratified_sample
+
+    plan = plan_of(stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    import re
+
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "text" not in read_schema, read_schema
+    assert "doc_id" in read_schema and "lang" in read_schema
+
+
+def test_sessionize_single_shuffle(spark):
+    """Window (partitionBy user_id) and the downstream groupBy(user_id,
+    session_seq) must share ONE hash exchange — Catalyst reuses the
+    child partitioning because user_id prefixes the grouping key."""
+    from goskyr_spark.ops.events import sessionize
+
+    import re
+
+    plan = plan_of(sessionize(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
