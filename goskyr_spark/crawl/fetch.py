@@ -70,6 +70,7 @@ class UrllibTransport:
         self._opener = None
 
     def _build(self):
+        import http.cookiejar
         import ssl
         import urllib.request
 
@@ -79,8 +80,16 @@ class UrllibTransport:
 
         ctx = ssl.create_default_context()
         ctx.maximum_version = ssl.TLSVersion.TLSv1_2
+        # per-client cookie jar like the reference's StaticFetcher
+        # (fetcher.go:117 cookiejar.New w/ publicsuffix list); stdlib
+        # DefaultCookiePolicy stands in for the PSL — same scoping for
+        # the host-set cookies a crawl actually encounters. The jar is
+        # per-process (built with the opener), mirroring the per-client
+        # jar on each executor's fetcher.
         return urllib.request.build_opener(
-            NoRedirect(), urllib.request.HTTPSHandler(context=ctx)
+            NoRedirect(),
+            urllib.request.HTTPSHandler(context=ctx),
+            urllib.request.HTTPCookieProcessor(http.cookiejar.CookieJar()),
         )
 
     def __getstate__(self):

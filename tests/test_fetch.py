@@ -158,3 +158,42 @@ def test_urllib_transport_against_local_server():
         assert (s, r, b) == (0, None, None)
     finally:
         srv.shutdown()
+
+
+def test_urllib_transport_cookie_jar():
+    """Set-Cookie from one response rides on the next request to the
+    same host (reference StaticFetcher carries a cookiejar on its
+    client, fetcher.go:117) — some sites 403 cookie-less re-requests."""
+    import http.server
+    import threading
+
+    from goskyr_spark.crawl.fetch import UrllibTransport, fetch_one
+
+    seen = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen[self.path] = self.headers.get("Cookie")
+            body = b"<html>ok</html>"
+            self.send_response(200)
+            if self.path == "/first":
+                self.send_header("Set-Cookie", "sid=abc123; Path=/")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = UrllibTransport(timeout_s=5.0)
+        base = f"http://127.0.0.1:{port}"
+        s, _, _, _ = fetch_one(t, f"{base}/first")
+        assert s == 200 and seen["/first"] is None
+        s, _, _, _ = fetch_one(t, f"{base}/second")
+        assert s == 200 and seen["/second"] == "sid=abc123"
+    finally:
+        srv.shutdown()
