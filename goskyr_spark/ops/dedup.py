@@ -725,13 +725,32 @@ def connected_components(
     (e appears twice in sym, sym twice in lg) and OOMs the driver just
     stringifying the tree by iteration ~3 — lineage MUST be cut, not
     merely cached.
+
+    Convergence = edge-set fixpoint, detected by a single 1-row
+    aggregate over the just-checkpointed set (count + order-independent
+    sum AND xor of xxhash64(u,v)) instead of an exceptAll anti-join —
+    one cheap scan per round versus a full two-sided shuffle. Distinct
+    sets colliding on all three folds is ~2^-128; a false match could
+    only end the loop one round early, never corrupt an edge.
     """
+
+    def sig(df: DataFrame):
+        row = df.select(
+            F.count("*").alias("n"),
+            # decimal(38,0) fold: ANSI mode throws on long-sum overflow,
+            # and two 2^63-scale hashes already overflow a long
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]  # 1-row control read, not data movement
+        return (row.n, row.s, row.x)
+
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_sig = sig(e)
     for _ in range(max_iter):
         # LARGE-STAR: for every node u, connect each strictly-larger
         # neighbor to m = min(N(u) + {u}). Works on the symmetric form.
@@ -759,11 +778,11 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # set equality: both sides are distinct, so subset + same count
-        converged = new_e.exceptAll(e).isEmpty() and new_e.count() == e.count()
+        new_sig = sig(new_e)
         e = new_e
-        if converged:
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
     # e is a star forest (child -> component root); roots map to selves
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
