@@ -524,3 +524,52 @@ def test_window_agg_epoch_aligned(spark, tmp_path):
     assert set(got) == {h10, h11}
     assert (got[h10].n_events, got[h10].n_users) == (1, 1)
     assert (got[h11].n_events, got[h11].n_users, got[h11].total_value) == (2, 2, 6.0)
+
+
+def test_sessionize_randomized_vs_python_reference(spark, tmp_path):
+    """Seeded random event streams (bursty gaps straddling the 30-min
+    boundary) vs an independent pure-python sessionizer."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = t0 + dt.timedelta(seconds=int(rng.integers(0, 3600)))
+        for _ in range(int(rng.integers(1, 40))):
+            rows.append((eid, t, user, "e", float(eid % 7), "{}"))
+            eid += 1
+            # gaps cluster around the 30-min boundary on purpose
+            gap_s = int(rng.choice([5, 60, 1799, 1800, 1801, 7200]))
+            t = t + dt.timedelta(seconds=gap_s)
+    p = _write_events(spark, tmp_path, rows)
+
+    # pure-python reference
+    GAP_US = 30 * 60 * 1_000_000
+    by_user = {}
+    for e, t, u, _, v, _ in rows:
+        by_user.setdefault(u, []).append((int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6), e, v))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        for ts_us, e, v in evs:
+            if prev is None or ts_us - prev > GAP_US:
+                seq += 1
+                want[(u, seq)] = [ts_us, ts_us, 0, 0.0]
+            s = want[(u, seq)]
+            s[0] = min(s[0], ts_us); s[1] = max(s[1], ts_us)
+            s[2] += 1; s[3] += v
+            prev = ts_us
+
+    from goskyr_spark.ops.events import sessionize
+
+    got = {
+        (r.user_id, r.session_seq): [r.session_start_us, r.session_end_us,
+                                     r.n_events, r.total_value]
+        for r in sessionize(spark, p).collect()
+    }
+    assert got == want
