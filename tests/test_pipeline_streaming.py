@@ -237,3 +237,32 @@ def test_stateful_rate_guard_across_batches(spark, tmp_path):
         latest[r["host"]] = max(latest.get(r["host"], 0), r["total_pages"])
     assert sum(latest.values()) == spec.total_pages
     assert any(r["over_budget"] for r in rows)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Dedup-on-ingest: first pass admits each unique content hash once
+    (min doc_id canonical); a second pass over NEW shards re-emits
+    nothing for already-admitted content — exactly-once per hash for
+    the checkpoint's lifetime."""
+    from goskyr_spark.streaming.stateful import run_streaming_dedup
+
+    docs_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("docs", "uniq", "ck"))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # shard 1: two distinct texts, one duplicated within the shard
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (3, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4)],
+        schema,
+    ).write.mode("append").parquet(docs_dir)
+    run_streaming_dedup(spark, docs_dir, out_dir, ckpt).awaitTermination()
+    got = {r.content_md5: r for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 2
+    assert sorted((r.canonical_doc_id, r.n_dups_in_batch) for r in got.values()) == [(1, 2), (2, 1)]
+
+    # shard 2: a dup of shard 1 content + one new text
+    spark.createDataFrame(
+        [(9, "alpha", "en", "s", 5), (10, "gamma", "en", "s", 5)], schema
+    ).write.mode("append").parquet(docs_dir)
+    run_streaming_dedup(spark, docs_dir, out_dir, ckpt).awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 3  # only gamma admitted in pass 2
+    assert {r.canonical_doc_id for r in rows} == {1, 2, 10}
