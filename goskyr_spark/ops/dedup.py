@@ -751,6 +751,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = sig(e)
+    converged = False
     for _ in range(max_iter):
         # LARGE-STAR: for every node u, connect each strictly-larger
         # neighbor to m = min(N(u) + {u}). Works on the symmetric form.
@@ -779,10 +780,22 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         new_sig = sig(new_e)
+        # free the superseded checkpoint immediately (new_e is already
+        # materialized with cut lineage) — otherwise up to max_iter edge
+        # copies stay pinned until the ContextCleaner happens to run
+        e.unpersist()
         e = new_e
         if new_sig == prev_sig:
+            converged = True
             break
         prev_sig = new_sig
+    if not converged:
+        # exiting mid-contraction would silently emit conflicting
+        # component labels (e is not yet a star forest) — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of longest chain)"
+        )
     # e is a star forest (child -> component root); roots map to selves
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -573,3 +573,15 @@ def test_sessionize_randomized_vs_python_reference(spark, tmp_path):
         for r in sessionize(spark, p).collect()
     }
     assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter mid-contraction must refuse loudly (silently
+    returning a non-star-forest would emit conflicting labels)."""
+    from goskyr_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
