@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goskyr_spark.ops import (
+    decontam,
     dedup,
     events,
     multimodal,
@@ -91,11 +92,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_pii_redact": textstats.pii_redact,
+        "text_repetition_signals": textstats.repetition_signals,
         # training-mix construction (deterministic md5-keyed sampling,
         # stratum accounting, exact percentiles)
         "sample_stratified": sampling.stratified_sample,
+        "sample_token_budget": sampling.token_budget_sample,
         "quality_rollup": sampling.quality_rollup,
         "length_percentiles": sampling.length_percentiles,
+        # benchmark decontamination (broadcast n-gram probe of the
+        # training scan against the eval set's digest set)
+        "decontaminate": decontam.decontaminate,
         # event-stream analytics (batch twins of streaming/ingest.py)
         "events_sessionize": events.sessionize,
         "events_window_agg": events.window_agg,
@@ -640,6 +646,78 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'de' THEN 864691128455135232
                 WHEN 'fr' THEN 864691128455135232
                 ELSE 1152921504606846976 END
+        """,
+        # budgeted mixture sampling: identical window spec (cumulative
+        # token sum per lang ordered by 60-bit md5 key) on both engines
+        "sample_token_budget": """
+            WITH k AS (
+                SELECT doc_id, lang,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                       CAST('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sample_key
+                FROM documents),
+            c AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY sample_key, doc_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM k)
+            SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
+        """,
+        # benchmark decontamination: word-8-gram overlap between the
+        # planted training side and the benchmark side (doc_id%20==7);
+        # DuckDB generate_series(1, n) is [] when n < 1, mirroring the
+        # Spark side's guarded sequence()
+        "decontaminate": """
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 20 = 7),
+            train AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id,
+                       'zzleadin zzpad ' || text || ' zzpad zztrailout' AS text
+                FROM bench WHERE doc_id < 200
+            ),
+            bg AS (
+                SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS gk
+                FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM bench),
+                     UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS gk
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM train),
+                     UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+            )
+            SELECT doc_id, COUNT(*) AS n_contaminated_grams
+            FROM tg JOIN bg USING (gk)
+            GROUP BY doc_id
+        """,
+        # repetition filters: the Spark side computes the mode count as
+        # a zero-shuffle sorted-array fold; the oracle states the same
+        # quantity relationally (unnest -> per-word counts -> max)
+        "text_repetition_signals": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            per_word AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM toks, UNNEST(t) AS u(w)
+                GROUP BY doc_id, w),
+            tops AS (
+                SELECT doc_id, CAST(MAX(c) AS INTEGER) AS top_word_count
+                FROM per_word GROUP BY doc_id),
+            g2 AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 2
+                            THEN [array_to_string(t[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(t) - 1)]
+                            ELSE [] END AS grams
+                FROM toks)
+            SELECT toks.doc_id,
+                   CAST(len(toks.t) AS INTEGER) AS n_words,
+                   CAST(len(list_distinct(toks.t)) AS INTEGER) AS n_distinct_words,
+                   tops.top_word_count,
+                   CAST(len(g2.grams) AS INTEGER) AS n_2grams,
+                   CAST(len(list_distinct(g2.grams)) AS INTEGER) AS n_distinct_2grams
+            FROM toks JOIN tops USING (doc_id) JOIN g2 ON toks.doc_id = g2.doc_id
         """,
         "quality_rollup": """
             SELECT source, lang,

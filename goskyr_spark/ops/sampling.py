@@ -73,6 +73,57 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language token budgets for the budgeted mix (en down-weighted as
+# the over-represented head, everything else gets the default)
+TOKEN_BUDGETS = {"en": 6000}
+DEFAULT_TOKEN_BUDGET = 2000
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture sampling: admit documents per language, in
+    deterministic md5-key order, until the language's TOKEN budget is
+    exhausted — how a training mix is actually specified ("100 B tokens
+    of en, 30 B of de"), versus stratified_sample's per-row rates.
+
+    The admission set is a pure function of (doc_id, corpus): the md5
+    key fixes a global per-language order, so re-runs and different
+    cluster sizes admit the identical set, and the boundary document is
+    decided by an exact integer cumulative sum, not a float rate.
+
+    Scale note: the exact form is one window (cumulative token sum per
+    language ordered by key) — a single shuffle, but each language is
+    one window partition, so at 100 TB the swap point (same as
+    length_percentiles' exact→approx swap) is: approximate the
+    per-language admission-key cutoff from a t-digest over sample_key
+    weighted by n_tokens, then admit with a scan + `sample_key <=
+    cutoff(lang)` filter — zero total-order anywhere. The window form
+    below is the oracle-exact small-SF stand-in; both produce a key
+    cutoff, the sketch just finds it without sorting."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        _sample_key("tb").alias("sample_key"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(DEFAULT_TOKEN_BUDGET)
+    for lang, b in TOKEN_BUDGETS.items():
+        budget = F.when(F.col("lang") == lang, F.lit(b)).otherwise(budget)
+    return (
+        keyed.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
 def quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus accounting: doc/char/word/stopword
     totals plus mean chars — the table a mix designer reads before

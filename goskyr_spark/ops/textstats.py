@@ -107,6 +107,55 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-common-word count and
+    duplicate word-2-gram count per document (high top-word or dup-gram
+    fractions mark boilerplate/spam). All integer outputs.
+
+    ZERO-shuffle formulation: the obvious shape (explode words →
+    groupBy(doc_id, word) → groupBy(doc_id)) shuffles every token twice;
+    here the whole computation stays inside the row. The mode count is a
+    single O(n log n) pass — array_sort, then one F.aggregate fold
+    carrying (prev, run, best) through the sorted array, so the longest
+    equal-run IS the top word count. Distinct counts are
+    array_distinct sizes. Whole plan is scan → project; swap to the
+    explode form only for pathological single-docs (100 M tokens) where
+    per-row work needs to be split across tasks."""
+    docs = _docs(spark, sf_dir)
+    words = F.array_sort(F.split(F.lower(F.trim("text")), "\\s+"))
+    # longest run of equal adjacent values in the sorted array ==
+    # max per-word count. Fold state: (prev word, current run, best run).
+    top = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    idx2 = F.sequence(F.lit(1), F.size(toks) - 1)
+    grams2 = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx2, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        top.alias("top_word_count"),
+        F.size(grams2).alias("n_2grams"),
+        F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram
     rolling hashes → min hash within each sliding window → distinct

@@ -585,3 +585,100 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1).collect()
+
+
+def test_repetition_signals_values(spark, tmp_path):
+    """Hand-computed repetition counts, including the single-token and
+    max-run-at-end edge cases of the sorted-array mode fold."""
+    from goskyr_spark.ops.textstats import repetition_signals
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "the the the cat", "en", "s", 0),
+            (1, "hello", "en", "s", 0),
+            (2, "a b a b a", "en", "s", 0),
+            (3, "  zz   zz  ", "en", "s", 0),  # whitespace runs + padding
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+
+    got = {r.doc_id: r for r in repetition_signals(spark, p).collect()}
+    # doc 0: words [cat,the,the,the] -> top run 3; 2-grams {the the x2, the cat}
+    assert (got[0].n_words, got[0].n_distinct_words, got[0].top_word_count) == (4, 2, 3)
+    assert (got[0].n_2grams, got[0].n_distinct_2grams) == (3, 2)
+    # doc 1: single token -> no 2-grams at all
+    assert (got[1].n_words, got[1].top_word_count, got[1].n_2grams) == (1, 1, 0)
+    # doc 2: run of 3 'a' ends the sorted array (fold must flush best)
+    assert (got[2].n_distinct_words, got[2].top_word_count) == (2, 3)
+    assert (got[2].n_2grams, got[2].n_distinct_2grams) == (4, 2)
+    # doc 3: trim+split must not manufacture empty tokens
+    assert (got[3].n_words, got[3].top_word_count) == (2, 2)
+
+
+def test_token_budget_sample_maximal_and_deterministic(spark):
+    """Every language's admitted token sum is within budget; admitting
+    the NEXT doc in key order would exceed it (maximality); the set is
+    identical across runs."""
+    from goskyr_spark.ops.sampling import (
+        DEFAULT_TOKEN_BUDGET,
+        TOKEN_BUDGETS,
+        token_budget_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = token_budget_sample(spark, sf).collect()
+    rows2 = token_budget_sample(spark, sf).collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in rows2} != set()
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    n_tok = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    universe = docs.select("doc_id", "lang", n_tok.alias("n"), key.alias("k")).collect()
+    for lang, admitted in by_lang.items():
+        budget = TOKEN_BUDGETS.get(lang, DEFAULT_TOKEN_BUDGET)
+        total = sum(r.n_tokens for r in admitted)
+        assert total <= budget, (lang, total)
+        ordered = sorted((u for u in universe if u.lang == lang), key=lambda u: (u.k, u.doc_id))
+        admitted_ids = {r.doc_id for r in admitted}
+        # the first non-admitted doc in key order must overflow the budget
+        for u in ordered:
+            if u.doc_id not in admitted_ids:
+                assert total + u.n > budget, (lang, total, u.n)
+                break
+
+
+def test_decontaminate_flags_planted_overlaps(spark):
+    """Every planted doc (benchmark text embedded verbatim) is flagged
+    with EXACTLY its benchmark doc's distinct 8-gram count — the filler
+    words are novel vocab, so boundary grams must not match."""
+    from goskyr_spark.ops.decontam import (
+        BENCH_MOD,
+        BENCH_REM,
+        NGRAM,
+        PLANT_BELOW,
+        PLANT_OFFSET,
+        decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.doc_id: r.n_contaminated_grams for r in decontaminate(spark, sf).collect()}
+    bench = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(sf + "/documents.parquet")
+        .filter((F.col("doc_id") % BENCH_MOD == BENCH_REM) & (F.col("doc_id") < PLANT_BELOW))
+        .collect()
+    }
+    assert bench, "fixture assumption: benchmark docs exist below PLANT_BELOW"
+    for doc_id, text in bench.items():
+        toks = text.strip().lower().split()
+        want = len({" ".join(toks[i : i + NGRAM]) for i in range(len(toks) - NGRAM + 1)})
+        assert got.get(doc_id + PLANT_OFFSET) == want, doc_id

@@ -235,3 +235,40 @@ def test_sessionize_single_shuffle(spark):
     plan = plan_of(sessionize(spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """The mode count is a sorted-array fold INSIDE the row — the plan
+    must be scan → project with no Exchange and only doc_id+text read
+    (the explode→groupBy formulation would shuffle every token twice)."""
+    from goskyr_spark.ops.textstats import repetition_signals
+
+    import re
+
+    plan = plan_of(repetition_signals(spark, SF))
+    assert "Exchange" not in plan, plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set (the small side, by construction) must be
+    broadcast so the training scan is never shuffled on gram keys."""
+    from goskyr_spark.ops.decontam import decontaminate
+
+    plan = plan_of(decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_token_budget_sample_single_shuffle(spark):
+    """One hash exchange total: the per-language cumulative-sum window
+    is the only data movement (scan → project → window → filter)."""
+    from goskyr_spark.ops.sampling import token_budget_sample
+
+    import re
+
+    plan = plan_of(token_budget_sample(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(lang" in plan, plan
