@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "text_token_counts",
     "text_pii_redact",
     "sample_stratified",
+    "sample_token_budget",
+    "decontaminate",
     "quality_rollup",
     "length_percentiles",
     "events_sessionize",
@@ -55,6 +57,7 @@ BENCH_QUERIES = [
     "text_quality_signals",
     "text_lang_id",
     "text_doc_fingerprint",
+    "text_repetition_signals",
 ]
 
 

@@ -266,3 +266,65 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 3  # only gamma admitted in pass 2
     assert {r.canonical_doc_id for r in rows} == {1, 2, 10}
+
+
+def test_windowed_counts_watermark_eviction(spark, tmp_path):
+    """Watermarked tumbling windows over two micro-batches: windows the
+    advancing watermark closes are emitted exactly once and match the
+    batch twin row-for-row; an event arriving LATER than the watermark
+    delay for an already-closed window is dropped, not double-counted."""
+    from datetime import datetime as DT
+
+    from goskyr_spark.streaming.windows import EVENTS_SCHEMA, run_windowed_counts
+
+    events_dir, out_dir, ckpt = (
+        str(tmp_path / "events"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+
+    def ev(i, h, m, typ, val):
+        return (i, DT(2024, 1, 1, h, m), 1, typ, float(val), "{}")
+
+    # batch 1: hours 0–8; watermark AFTER this batch = 08:30 − 2h = 06:30
+    batch1 = [
+        ev(1, 0, 10, "click", 1), ev(2, 0, 40, "click", 2), ev(3, 0, 50, "view", 3),
+        ev(4, 1, 15, "click", 4), ev(5, 3, 5, "view", 5), ev(6, 8, 30, "click", 6),
+    ]
+    # batch 2 runs WITH watermark 06:30 → flushes + evicts every window
+    # ending ≤ 06:30 (hours 0/1/3) at its end; advances watermark to 07:10
+    batch2 = [ev(7, 9, 10, "view", 7)]
+    # batch 3: event 8 is LATE — its hour-0 window was already emitted
+    # and evicted, and 01:00 < watermark 07:10 → the row must be DROPPED
+    # (eviction is per-batch: a late row landing in the SAME batch that
+    # flushes its window would still merge; one landing after must not)
+    batch3 = [ev(8, 0, 55, "click", 99)]
+
+    import time as _t
+
+    for batch in (batch1, batch2, batch3):
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+        _t.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    run_windowed_counts(spark, events_dir, out_dir, ckpt)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # every window ending <= 07:10 (final watermark) must be emitted,
+    # computed over ON-TIME rows only
+    assert got[(DT(2024, 1, 1, 0), "click")] == (2, 3.0)   # late ev 8 dropped
+    assert got[(DT(2024, 1, 1, 0), "view")] == (1, 3.0)
+    assert got[(DT(2024, 1, 1, 1), "click")] == (1, 4.0)
+    assert got[(DT(2024, 1, 1, 3), "view")] == (1, 5.0)
+    # hour-8/9 windows end after the final watermark → still open, not
+    # emitted (they flush when later data advances the watermark)
+    assert (DT(2024, 1, 1, 8), "click") not in got
+    assert (DT(2024, 1, 1, 9), "view") not in got
+
+    # exactly-once across a full re-run against the same checkpoint:
+    # no new data → no duplicate emission of closed windows
+    run_windowed_counts(spark, events_dir, out_dir, ckpt)
+    again = spark.read.parquet(out_dir).count()
+    assert again == len(got)
