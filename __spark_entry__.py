@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratum accounting, exact percentiles)
         "sample_stratified": sampling.stratified_sample,
         "sample_token_budget": sampling.token_budget_sample,
+        "sample_pack_shards": sampling.pack_shards,
         "quality_rollup": sampling.quality_rollup,
         "length_percentiles": sampling.length_percentiles,
         # benchmark decontamination (broadcast n-gram probe of the
@@ -662,6 +663,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT doc_id, lang, n_tokens, cum_tokens FROM c
             WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
+        """,
+        # sequence packing: the oracle runs the single GLOBAL window the
+        # distributed range-split prefix sum is provably equal to
+        # (slices are key-monotone, prefix sums associate)
+        "sample_pack_shards": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                       CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sample_key
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY sample_key, doc_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       - n_tokens AS start
+                FROM k)
+            SELECT doc_id, n_tokens,
+                   start // 2048 AS shard_id,
+                   start % 2048 AS shard_offset
+            FROM c
         """,
         # benchmark decontamination: word-8-gram overlap between the
         # planted training side and the benchmark side (doc_id%20==7);

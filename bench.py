@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "sample_stratified",
     "sample_token_budget",
+    "sample_pack_shards",
     "decontaminate",
     "quality_rollup",
     "length_percentiles",

@@ -125,6 +125,11 @@ def frontier_triple(u: str) -> tuple[str, str, str]:
     """(canonical url, host, registrable domain) — THE hot function of
     frontier expansion (runs once per unique discovered URL). Fast path
     for the common shape; exact fallback for everything else."""
+    # Mirror canonical_url's strip BEFORE the fast-path match: str.strip
+    # removes UNICODE whitespace (NEL \x85, NBSP,  ...), which the
+    # \x00-\x20 character classes below would otherwise pass through in
+    # trailing path/query/fragment position (hypothesis-found).
+    u = u.strip()
     m = _SIMPLE_SPLIT.match(u)
     if m is not None:
         scheme, netloc, path, query = m.groups()

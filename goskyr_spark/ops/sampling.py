@@ -124,6 +124,86 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sequence-packing shard assignment: tokens per shard at demo SF (at
+# scale this is the context-window × sequences-per-shard product, e.g.
+# 8192 × 256) and the number of key-range slices the exclusive prefix
+# sum is computed over (any power of two; result is slice-count
+# invariant, gated in tests).
+SHARD_CAPACITY = 2048
+PACK_RANGES = 16
+
+
+def pack_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = SHARD_CAPACITY,
+    n_ranges: int = PACK_RANGES,
+) -> DataFrame:
+    """Sequence packing: assign every document a (shard_id,
+    shard_offset) in a token-packed shard layout — the step that turns a
+    cleaned corpus into fixed-token training shards. A document is
+    placed where its global token prefix sum starts (straddling docs
+    belong to the shard they start in; the writer that splits them at
+    the boundary is shard-local and embarrassingly parallel after this
+    assignment).
+
+    The global order is (60-bit md5 key, doc_id) — deterministic,
+    engine-independent, append-stable. The prefix sum is computed WITHOUT
+    a global total order: the key space is sliced into ``n_ranges``
+    equal integer ranges (the md5 key is uniform, so slices are balanced
+    by construction — no sampling, no RangePartitioner nondeterminism),
+    per-slice token totals (a tiny ``n_ranges``-row aggregate) roll into
+    exclusive slice offsets on the driver, and each slice then runs its
+    own window cumsum in parallel. Associativity makes the result
+    identical to the single global window the DuckDB oracle runs.
+
+    At 100 TB: the only data-sized shuffle is the per-slice window sort
+    (raise n_ranges to executor count × a few); the keyed projection is
+    scanned twice (totals + final) — materialize it once alongside the
+    dedup intermediates (ops/dedup._materialized pattern) when the scan
+    dominates. Driver traffic is n_ranges longs, same budget as the IVF
+    centroids."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    width = TWO_60 // n_ranges
+    keyed = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        _sample_key("pack").alias("sample_key"),
+    ).withColumn("rng", F.expr(f"sample_key DIV {width}"))
+
+    totals = {
+        r["rng"]: r["t"]
+        for r in keyed.groupBy("rng").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    acc = 0
+    offsets = []
+    for rng in sorted(totals):
+        offsets.append((rng, acc))
+        acc += totals[rng]
+    off_df = spark.createDataFrame(offsets, "rng long, range_offset long")
+
+    w = (
+        Window.partitionBy("rng")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(off_df), "rng")
+        .withColumn(
+            "start", F.sum("n_tokens").over(w) + F.col("range_offset") - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"start DIV {capacity}").alias("shard_id"),
+            (F.col("start") % capacity).alias("shard_offset"),
+        )
+    )
+
+
 def quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus accounting: doc/char/word/stopword
     totals plus mean chars — the table a mix designer reads before

@@ -682,3 +682,25 @@ def test_decontaminate_flags_planted_overlaps(spark):
         toks = text.strip().lower().split()
         want = len({" ".join(toks[i : i + NGRAM]) for i in range(len(toks) - NGRAM + 1)})
         assert got.get(doc_id + PLANT_OFFSET) == want, doc_id
+
+
+def test_pack_shards_invariants_and_slice_invariance(spark):
+    """Sequence packing: (a) the assignment is identical whether the
+    exclusive prefix sum runs over 4 or 16 key-range slices (the
+    distributed form equals the global window); (b) offsets stay inside
+    the shard; (c) shards are gapless — sorting docs by (shard_id,
+    shard_offset) reproduces an exact global prefix sum of n_tokens."""
+    from goskyr_spark.ops.sampling import SHARD_CAPACITY, pack_shards
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(pack_shards(spark, sf, n_ranges=16).collect())
+    b = sorted(pack_shards(spark, sf, n_ranges=4).collect())
+    assert a == b and a
+
+    cap = SHARD_CAPACITY
+    total = 0
+    for r in sorted(a, key=lambda r: (r.shard_id, r.shard_offset)):
+        assert 0 <= r.shard_offset < cap
+        assert r.shard_id * cap + r.shard_offset == total, r
+        total += r.n_tokens
+    assert total == sum(r.n_tokens for r in a)
