@@ -13,8 +13,15 @@ Scale shape (the whole point of this operator at 100 TB):
   The only shuffle is the per-doc hit aggregation, keyed on doc_id
   with map-side combine, and only rows that actually hit a benchmark
   gram ever reach it (the broadcast join filters first).
-- Gram keys are md5 digests (16 bytes) rather than raw gram strings, so
-  the broadcast set and the aggregation rows stay fixed-width.
+- Gram keys are xxhash64 longs rather than raw gram strings, so the
+  broadcast set and the aggregation rows stay fixed-width (8 bytes);
+  the DuckDB oracle uses md5 keys instead — both engines count DISTINCT
+  hashes of the same gram strings, so the integer outputs agree
+  (64-bit collisions are negligible at any realistic gram count).
+- The training side is NEVER pre-distincted: deduplication happens in
+  the per-doc aggregate (count_distinct) AFTER the broadcast probe, so
+  the only rows that ever shuffle are actual contamination hits — a
+  full-corpus distinct would shuffle every gram of the 100 TB side.
 - If the benchmark side ever outgrows broadcast range, drop the
   F.broadcast hint and the same plan degrades gracefully to a shuffle
   semi-join on the digest.
@@ -34,6 +41,8 @@ gram count, and nothing else overlaps at 8-gram width on this corpus.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,26 +83,51 @@ def _train_with_planted(docs: DataFrame) -> DataFrame:
     return train.unionByName(planted)
 
 
+def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """The gram explode is ~50× wider than its input, so a small input
+    file that parquet splits into 1-2 tasks serializes the expensive
+    stage. If the file is too small for the scan to fill the cluster
+    (< 4 MB per core), repartition to defaultParallelism; at production
+    sizes the condition is false and NO exchange is added — the scan's
+    own splits carry the parallelism."""
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if size < 4 * 1024 * 1024 * cores:
+        return df.repartition(cores)
+    return df
+
+
 def decontaminate(spark: SparkSession, sf_dir: str, n: int = NGRAM) -> DataFrame:
     """Flag training docs sharing any word n-gram with the benchmark
     set. Returns (doc_id, n_contaminated_grams) for flagged docs only —
     the decontaminated corpus is the anti-join of training against this
     result (same broadcast set, zero extra passes when fused)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    docs = _spread_small_scan(spark, spark.read.parquet(path), path)
     bench_grams = (
         docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
         .select(F.explode(_word_grams(_tokens(), n)).alias("g"))
-        .select(F.md5("g").alias("gk"))
+        .select(F.xxhash64("g").alias("gk"))
         .distinct()
     )
     train_grams = (
         _train_with_planted(docs)
         .select("doc_id", F.explode(_word_grams(_tokens(), n)).alias("g"))
-        .select("doc_id", F.md5("g").alias("gk"))
-        .distinct()
+        .select("doc_id", F.xxhash64("g").alias("gk"))
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "gk")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated_grams"))
+        .agg(F.count_distinct("gk").alias("n_contaminated_grams"))
     )
