@@ -42,10 +42,10 @@ gram count, and nothing else overlaps at 8-gram width on this corpus.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .scanutil import spread_small_scan
 
 NGRAM = 8
 BENCH_MOD, BENCH_REM = 20, 7
@@ -83,38 +83,13 @@ def _train_with_planted(docs: DataFrame) -> DataFrame:
     return train.unionByName(planted)
 
 
-def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    """The gram explode is ~50× wider than its input, so a small input
-    file that parquet splits into 1-2 tasks serializes the expensive
-    stage. If the file is too small for the scan to fill the cluster
-    (< 4 MB per core), repartition to defaultParallelism; at production
-    sizes the condition is false and NO exchange is added — the scan's
-    own splits carry the parallelism."""
-    try:
-        size = (
-            os.path.getsize(path)
-            if os.path.isfile(path)
-            else sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        )
-    except OSError:
-        return df
-    cores = spark.sparkContext.defaultParallelism
-    if size < 4 * 1024 * 1024 * cores:
-        return df.repartition(cores)
-    return df
-
-
 def decontaminate(spark: SparkSession, sf_dir: str, n: int = NGRAM) -> DataFrame:
     """Flag training docs sharing any word n-gram with the benchmark
     set. Returns (doc_id, n_contaminated_grams) for flagged docs only —
     the decontaminated corpus is the anti-join of training against this
     result (same broadcast set, zero extra passes when fused)."""
     path = f"{sf_dir}/documents.parquet"
-    docs = _spread_small_scan(spark, spark.read.parquet(path), path)
+    docs = spread_small_scan(spark, spark.read.parquet(path), path)
     bench_grams = (
         docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
         .select(F.explode(_word_grams(_tokens(), n)).alias("g"))

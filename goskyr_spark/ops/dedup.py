@@ -80,6 +80,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the shingle/fingerprint BUILD stages (heavy per-row hashing):
+    widen an under-parallel small scan; no-op at production sizes where
+    the scan has real splits (scanutil.spread_small_scan)."""
+    from .scanutil import spread_small_scan
+
+    path = f"{sf_dir}/documents.parquet"
+    return spread_small_scan(spark, _docs(spark, sf_dir), path)
+
+
 def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     copies = docs.filter(F.col("doc_id") < PLANT_N).withColumn(
@@ -178,7 +188,7 @@ def shingle_table(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """The materialized (doc_id, shingles) table for a corpus — built
     once per session, reused by minhash/simhash/char-LSH/ngram."""
     key = ("shingles", _corpus_token(sf_dir, "documents.parquet"), k)
-    return _materialized(spark, key, lambda: _shingle_arrays(_docs(spark, sf_dir), k))
+    return _materialized(spark, key, lambda: _shingle_arrays(_docs_spread(spark, sf_dir), k))
 
 
 def _verify_exact_jaccard(
@@ -512,7 +522,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     session; both the banding and the Hamming-verify join read it (the
     round-2 form persist()ed and leaked instead)."""
     key = ("simhash", _corpus_token(sf_dir, "documents.parquet"))
-    return _materialized(spark, key, lambda: _simhash_fingerprints(_docs(spark, sf_dir)))
+    return _materialized(spark, key, lambda: _simhash_fingerprints(_docs_spread(spark, sf_dir)))
 
 
 def simhash_band_candidates(
@@ -627,7 +637,10 @@ def embedding_tables(
     from .similarity import hyperplane_band_values_np, with_norm
 
     def build_norm():
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        from .scanutil import spread_small_scan
+
+        path = f"{sf_dir}/embeddings.parquet"
+        emb = spread_small_scan(spark, spark.read.parquet(path), path).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
         if plant:

@@ -172,8 +172,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 
     Gram hash = first 60 bits of md5 (conv(substr(md5,1,15),16,10)) —
     md5 is available identically in DuckDB ('0x'||substr cast), so the
     fingerprints are oracle-checkable end-to-end; xxhash64 would be
-    marginally cheaper but has no DuckDB counterpart."""
-    docs = _docs(spark, sf_dir)
+    marginally cheaper but has no DuckDB counterpart. The per-gram md5
+    makes this the heaviest per-row op in the module, so an
+    under-parallel small scan is spread (no-op at production sizes)."""
+    from .scanutil import spread_small_scan
+
+    docs = spread_small_scan(
+        spark, _docs(spark, sf_dir), f"{sf_dir}/documents.parquet"
+    )
     words = F.split(F.trim("text"), "\\s+")
     grams = F.filter(
         F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
