@@ -20,6 +20,7 @@ from goskyr_spark.ops import (
     decontam,
     dedup,
     events,
+    lmscore,
     multimodal,
     relational,
     sampling,
@@ -104,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # benchmark decontamination (broadcast n-gram probe of the
         # training scan against the eval set's digest set)
         "decontaminate": decontam.decontaminate,
+        # model-based quality gate (CCNet-style reference-LM perplexity)
+        "lm_perplexity_score": lmscore.lm_perplexity_score,
         # event-stream analytics (batch twins of streaming/ingest.py)
         "events_sessionize": events.sessionize,
         "events_window_agg": events.window_agg,
@@ -740,6 +743,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_contaminated_grams
             FROM tg JOIN bg USING (gk)
+            GROUP BY doc_id
+        """,
+        # reference-LM perplexity gate: exact integer counts + one final
+        # rounded float (weighted mean of log2 probs; addition-order
+        # drift is ~1e-12, absorbed by ROUND(.,4) in both engines)
+        "lm_perplexity_score": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            ref AS (SELECT * FROM tok WHERE doc_id % 10 = 3),
+            scored AS (SELECT * FROM tok WHERE doc_id % 10 <> 3),
+            uni AS (
+                SELECT w AS tok, COUNT(*) AS c1
+                FROM ref, UNNEST(t) AS u(w) GROUP BY w),
+            bi AS (
+                SELECT t[i] || ' ' || t[i+1] AS g, COUNT(*) AS c12
+                FROM ref, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                GROUP BY g),
+            v AS (SELECT COUNT(*) AS v FROM uni),
+            db AS (
+                SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g,
+                       COUNT(*) AS n
+                FROM scored, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+                GROUP BY doc_id, w1, g)
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                   ROUND(SUM(n * log2((COALESCE(c12, 0) + 1.0)
+                                      / (COALESCE(c1, 0) + v))) / SUM(n),
+                         4) AS avg_logp
+            FROM db LEFT JOIN bi USING (g)
+                    LEFT JOIN uni ON db.w1 = uni.tok
+                    CROSS JOIN v
             GROUP BY doc_id
         """,
         # repetition filters: the Spark side computes the mode count as

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sample_token_budget",
     "sample_pack_shards",
     "decontaminate",
+    "lm_perplexity_score",
     "quality_rollup",
     "length_percentiles",
     "events_sessionize",

@@ -738,3 +738,55 @@ def test_incremental_dedup_index_probe(spark):
     assert any(k[0] == "mh_band_index" for k in _INTERMEDIATE_CACHE)
     again = {(r.new_doc_id, r.dup_of) for r in incremental_dedup(spark, sf).collect()}
     assert again == flagged
+
+
+def test_lm_perplexity_score_matches_python_reference(spark, tmp_path):
+    """lmscore.lm_perplexity_score vs an exact pure-python add-one
+    bigram LM on a constructed corpus: same slice split, same smoothing,
+    same weighted-mean log2, same rounding. Docs with < 2 tokens must be
+    absent (no bigrams)."""
+    import math
+    from collections import Counter
+
+    from goskyr_spark.ops.lmscore import LM_MOD, LM_REM, lm_perplexity_score
+
+    rows = [
+        (3, "a b a c a b", "en", "s", 0),   # reference slice (3 % 10 == 3)
+        (13, "b c b a", "en", "s", 0),      # reference slice
+        (1, "a b c", "en", "s", 0),
+        (2, "a zz a", "en", "s", 0),        # zz is OOV for the reference LM
+        (4, "x", "en", "s", 0),             # single token: no bigrams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "lmdocs")
+    df.write.mode("overwrite").parquet(p + "/documents.parquet")
+
+    ref_tokens, uni, bi = [], Counter(), Counter()
+    for doc_id, text, *_ in rows:
+        toks = text.lower().split()
+        if doc_id % LM_MOD == LM_REM:
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+            ref_tokens.extend(toks)
+    v = len(set(ref_tokens))
+    expected = {}
+    for doc_id, text, *_ in rows:
+        if doc_id % LM_MOD == LM_REM:
+            continue
+        toks = text.lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        logps = [
+            math.log2((bi[(w1, w2)] + 1) / (uni[w1] + v)) for w1, w2 in pairs
+        ]
+        expected[doc_id] = (len(pairs), round(sum(logps) / len(logps), 4))
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in lm_perplexity_score(spark, p).collect()
+    }
+    assert got == expected
+    assert 4 not in got
