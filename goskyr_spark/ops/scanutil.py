@@ -11,8 +11,9 @@ are exchange-free at scale and wide in the sandbox.
 
 NOT used by the ops whose whole point is a shuffle-free plan
 (stratified_sample, repetition_signals, token_counts — gated in
-tests/test_plans.py); their per-row work is light enough that scan
-width doesn't dominate.
+tests/test_plans.py); their per-row work (codegen'd expressions or a
+sub-µs/token Arrow pass) is light enough that scan width doesn't
+dominate.
 """
 
 from __future__ import annotations

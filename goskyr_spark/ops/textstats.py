@@ -114,53 +114,67 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ZERO-shuffle formulation: the obvious shape (explode words →
     groupBy(doc_id, word) → groupBy(doc_id)) shuffles every token twice;
-    here the whole computation stays inside the row. The mode count
-    comes from the sorted token array's RUN BOUNDARIES — the 0-based
-    positions where the value changes (filter over an index sequence;
-    ``F.get`` is total, so no ANSI out-of-bounds guard needed) — the
-    longest gap between consecutive boundaries IS the top word count,
-    and the boundary count IS the distinct count (one array_distinct
-    avoided). An earlier F.aggregate fold carrying a (prev, run, best)
-    struct per token measured ~5× slower: higher-order lambdas are
-    interpreted, so per-element struct construction dominates; the
-    boundary form does only int/get comparisons per element. 2-grams
-    are one zip_with of the token array against its shift, not a
-    per-index transform+slice. Whole plan is scan → project; swap to
-    the explode form only for pathological single-docs (100 M tokens)
-    where per-row work needs to be split across tasks."""
-    docs = _docs(spark, sf_dir)
-    words = F.array_sort(F.split(F.lower(F.trim("text")), "\\s+"))
-    n = F.size(words)
-    # 0-based run starts in the sorted array, plus an n sentinel; null
-    # from get(words, -1) makes (i == 0) | (w[i] != w[i-1]) TRUE|NULL.
-    bounds = F.concat(
-        F.filter(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: (i == 0) | (F.get(words, i) != F.get(words, i - 1)),
-        ),
-        F.array(n),
+    here the whole computation stays inside the row as ONE Arrow-batched
+    mapInPandas pass (scan → MapInPandas, no Exchange, text+doc_id
+    pruned scan — gated in tests/test_plans.py). Per-doc work is a
+    Counter over the token list (~0.3 µs/token), so the pass is
+    scan-bound at production sizes.
+
+    Two pure-Catalyst forms were benchmarked first and REJECTED: an
+    F.aggregate fold carrying a (prev, run, best) struct, and a
+    sorted-array run-boundary filter over an index sequence. Both are
+    higher-order functions, which whole-stage codegen cannot compile —
+    every element evaluation goes through the interpreted path, and
+    shared subtrees (the sorted array, the boundary array) are
+    re-evaluated per consuming output column. Measured at sf0.1 (5,000
+    docs, 271k tokens): boundary form 66-74 s, this Arrow pass < 1 s —
+    a case where the "built-ins beat UDFs" default inverts because the
+    built-in is interpreted and the UDF is vectorized.
+
+    Token parity with the DuckDB oracle (and the former Catalyst form):
+    Java regex \\s = [ \\t\\n\\x0b\\f\\r] (NOT python's unicode \\s),
+    trim strips the same ASCII whitespace, lower() is ASCII-safe on
+    this corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = (
+        "doc_id long, n_words int, n_distinct_words int, top_word_count int, "
+        "n_2grams int, n_distinct_2grams int"
     )
-    nb = F.size(bounds)
-    runs = F.zip_with(
-        F.slice(bounds, 2, nb - 1), F.slice(bounds, 1, nb - 1), lambda b, a: b - a
-    )
-    toks = F.split(F.lower(F.trim("text")), "\\s+")
-    grams2 = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        (nb - 1).alias("n_distinct_words"),
-        F.array_max(runs).alias("top_word_count"),
-        F.size(grams2).alias("n_2grams"),
-        F.size(F.array_distinct(grams2)).alias("n_distinct_2grams"),
-    )
+
+    def _batches(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        java_ws = " \t\n\x0b\f\r"
+        split_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            rows = []
+            for text in pdf["text"].tolist():
+                toks = split_ws.split(text.strip(java_ws).lower())
+                counts = Counter(toks)
+                n = len(toks)
+                if n >= 2:
+                    g2 = list(zip(toks, toks[1:]))
+                    n2, d2 = len(g2), len(set(g2))
+                else:
+                    n2, d2 = 0, 0
+                rows.append((n, len(counts), max(counts.values()), n2, d2))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_words",
+                    "n_distinct_words",
+                    "top_word_count",
+                    "n_2grams",
+                    "n_distinct_2grams",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return docs.mapInPandas(_batches, schema)
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
