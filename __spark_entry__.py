@@ -25,6 +25,7 @@ from goskyr_spark.ops import (
     relational,
     sampling,
     similarity,
+    substring,
     textstats,
     trainprep,
 )
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontam.decontaminate,
         # model-based quality gate (CCNet-style reference-LM perplexity)
         "lm_perplexity_score": lmscore.lm_perplexity_score,
+        # exact repeated-substring spans (Lee et al. ExactSubstr, as a
+        # distributed gram-hash join instead of a suffix array)
+        "dedup_substring_spans": substring.repeated_substring_spans,
         # event-stream analytics (batch twins of streaming/ingest.py)
         "events_sessionize": events.sessionize,
         "events_window_agg": events.window_agg,
@@ -776,6 +780,45 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN uni ON db.w1 = uni.tok
                     CROSS JOIN v
             GROUP BY doc_id
+        """,
+        # exact repeated-substring spans: both engines group by a hash
+        # of the k-gram (xxhash64 vs md5 — only used as a grouping key),
+        # then merge hot positions into maximal spans with the same
+        # running-max window; outputs are integer positions
+        "dedup_substring_spans": """
+            WITH d AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       string_split_regex(trim(lower(text)), '\\s+')
+                FROM documents WHERE doc_id < 25),
+            g AS (
+                SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+9], ' ')) AS gk
+                FROM d, UNNEST(generate_series(1, len(t) - 9)) AS u(i)),
+            dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(*) > 1),
+            hot AS (SELECT doc_id, pos FROM g JOIN dup USING (gk)),
+            m AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > COALESCE(
+                                MAX(pos + 9) OVER (
+                                    PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING),
+                                -1) + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM hot),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS island
+                FROM m)
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INTEGER) AS span_start,
+                   CAST(MAX(pos) + 9 AS INTEGER) AS span_end,
+                   CAST(MAX(pos) + 9 - MIN(pos) + 1 AS INTEGER) AS n_tokens
+            FROM isl GROUP BY doc_id, island
         """,
         # repetition filters: the Spark side computes the mode count as
         # a zero-shuffle sorted-array fold; the oracle states the same

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_incremental",
+    "dedup_substring_spans",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -790,3 +790,40 @@ def test_lm_perplexity_score_matches_python_reference(spark, tmp_path):
     }
     assert got == expected
     assert 4 not in got
+
+
+def test_repeated_substring_spans_merge_and_edges(spark, tmp_path):
+    """Hand-constructed corpus for the ExactSubstr span merge: two docs
+    share a 12-token passage (one maximal span each, exact bounds); a
+    doc repeats a k-gram INTERNALLY (two islands merging into one span
+    when overlapping); sub-k docs emit nothing; unique docs emit
+    nothing. doc_ids >= 25 so the op's own planting stays out of the
+    way (k=4 here for short fixtures)."""
+    from goskyr_spark.ops.substring import repeated_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (30, f"aa bb {shared} cc dd", "en", "s", 0),      # span at pos 3..14
+        (31, f"{shared} xx yy zz", "en", "s", 0),         # span at pos 1..12
+        (32, "p q r s p q r s t", "en", "s", 0),          # internal repeat of 'p q r s'
+        (33, "one two three", "en", "s", 0),              # shorter than k
+        (34, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "s", 0),    # unique, no dup grams
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/documents.parquet"
+    )
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in repeated_substring_spans(spark, p, k=4).collect()
+    }
+    assert (30, 3, 14, 12) in got
+    assert (31, 1, 12, 12) in got
+    # doc 32: 'p q r s' occurs at pos 1 and 5; both 4-gram positions are
+    # hot, spans [1,4] and [5,8] are adjacent -> ONE merged span [1,8]
+    assert (32, 1, 8, 8) in got
+    docs_with_spans = {d for d, *_ in got}
+    assert 33 not in docs_with_spans and 34 not in docs_with_spans
+    assert docs_with_spans == {30, 31, 32}

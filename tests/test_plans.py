@@ -272,3 +272,24 @@ def test_token_budget_sample_single_shuffle(spark):
     plan = plan_of(token_budget_sample(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "hashpartitioning(lang" in plan, plan
+
+
+def test_substring_spans_single_span_exchange(spark):
+    """ExactSubstr span merge: the two windows (running-max break flag,
+    island id) and the final span aggregate must all share ONE doc_id
+    exchange + ONE sort; no cartesian product anywhere; the dup-gram
+    probe is a semi join."""
+    from goskyr_spark.ops.substring import repeated_substring_spans
+
+    import re
+
+    plan = plan_of(repeated_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+    # exchanges: gram-key aggregate + doc_id window (+ sandbox-only
+    # small-scan spreads and the semi-join's broadcast/shuffle) — the
+    # span stages add NO exchange beyond the doc_id one
+    after_sort = plan.split("Sort", 1)[0]
+    assert len(re.findall(r"\(\d+\) Exchange", after_sort)) <= 1, plan
