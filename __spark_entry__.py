@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream analytics (batch twins of streaming/ingest.py)
         "events_sessionize": events.sessionize,
         "events_window_agg": events.window_agg,
+        "events_asof_join": events.asof_join,
         # composed training-data-prep pipeline (dedup → lang gate →
         # quality gate → token accounting as ONE Catalyst plan)
         "pipeline_training_prep": trainprep.training_prep,
@@ -780,6 +781,31 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN uni ON db.w1 = uni.tok
                     CROSS JOIN v
             GROUP BY doc_id
+        """,
+        # as-of join: identical union-window replica (same total order,
+        # same rows-frame); timestamps as epoch micros; value is a
+        # passthrough double (no arithmetic, exact compare)
+        "events_asof_join": """
+            WITH tagged AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_r
+                FROM events
+                WHERE event_type IN ('view', 'purchase')),
+            c AS (
+                SELECT event_id, user_id, ts_us, value, is_r,
+                       last_value(CASE WHEN is_r = 1 THEN event_id END IGNORE NULLS)
+                           OVER w AS view_event_id,
+                       last_value(CASE WHEN is_r = 1 THEN ts_us END IGNORE NULLS)
+                           OVER w AS view_ts_us,
+                       last_value(CASE WHEN is_r = 1 THEN value END IGNORE NULLS)
+                           OVER w AS view_value
+                FROM tagged
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_us, is_r DESC, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts_us, value,
+                   view_event_id, view_ts_us, view_value
+            FROM c WHERE is_r = 0
         """,
         # exact repeated-substring spans: both engines group by a hash
         # of the k-gram (xxhash64 vs md5 — only used as a grouping key),

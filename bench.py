@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "length_percentiles",
     "events_sessionize",
     "events_window_agg",
+    "events_asof_join",
     "text_quality_signals",
     "text_lang_id",
     "text_doc_fingerprint",
@@ -73,7 +74,8 @@ def force(df) -> None:
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from goskyr_spark.ops.dedup import (
-        embedding_tables, shingle_table, simhash_fingerprints)
+        embedding_tables, minhash_band_index, shingle_table,
+        simhash_fingerprints)
 
     qs = entrymod.queries()
     # session warmup (JVM/codegen/python-worker startup) so the first
@@ -89,6 +91,7 @@ def bench_queries(spark) -> dict[str, float]:
     t0 = time.time()
     shingle_table(spark, SF_DIR).count()
     simhash_fingerprints(spark, SF_DIR).count()
+    minhash_band_index(spark, SF_DIR).count()
     for t in embedding_tables(spark, SF_DIR):
         t.count()
     out["dedup_intermediates_build"] = round(time.time() - t0, 3)

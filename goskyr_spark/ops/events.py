@@ -85,3 +85,64 @@ def window_agg(spark: SparkSession, sf_dir: str, minutes: int = 60) -> DataFrame
             "n_users",
         )
     )
+
+
+def asof_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "view",
+) -> DataFrame:
+    """AS-OF join: attach to every `left_type` event the most recent
+    earlier-or-equal `right_type` event of the same user (the classic
+    point-in-time enrichment — trades×quotes, purchase×last-view).
+    Spark has no native ASOF JOIN (DuckDB/Flink/pandas do); the naive
+    encoding is an inequality join, which Catalyst can only run as a
+    per-user nested loop — O(n_l·n_r) per user and a
+    BroadcastNestedLoopJoin at scale. The scale-correct shape is the
+    UNION-WINDOW form used here: tag both sides, ONE hash shuffle on
+    user_id, one sort by (ts, side, event_id), then last(ignorenulls)
+    carries the newest right-side row forward into each left row.
+    Linear in events, no join at all; skew bounded by per-user counts.
+
+    Tie policy: a right event at the SAME timestamp counts as "prior"
+    (side sorts right-before-left at equal ts); ties inside a side
+    break deterministically on event_id. view_* columns are null when
+    no prior right event exists. Timestamps cross the oracle boundary
+    as epoch micros (exact integer compare)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin(left_type, right_type)
+    )
+    is_r = (F.col("event_type") == right_type).cast("int")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        is_r.alias("is_r"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("is_r").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def carry(col: str):
+        return F.last(
+            F.when(F.col("is_r") == 1, F.col(col)), ignorenulls=True
+        ).over(w)
+
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            "is_r",
+            carry("event_id").alias("view_event_id"),
+            carry("ts_us").alias("view_ts_us"),
+            carry("value").alias("view_value"),
+        )
+        .filter(F.col("is_r") == 0)
+        .drop("is_r")
+    )

@@ -827,3 +827,39 @@ def test_repeated_substring_spans_merge_and_edges(spark, tmp_path):
     docs_with_spans = {d for d, *_ in got}
     assert 33 not in docs_with_spans and 34 not in docs_with_spans
     assert docs_with_spans == {30, 31, 32}
+
+
+def test_asof_join_tie_and_missing(spark, tmp_path):
+    """As-of semantics, hand-computed: newest prior view wins; a view at
+    the SAME timestamp counts as prior; purchases before any view carry
+    nulls; other event types are ignored."""
+    from datetime import datetime
+
+    from goskyr_spark.ops.events import asof_join
+
+    us = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, us(10), 7, "view", 1.0, "{}"),
+        (2, us(20), 7, "purchase", 2.0, "{}"),   # -> view 1
+        (3, us(30), 7, "view", 3.0, "{}"),
+        (4, us(30), 7, "purchase", 4.0, "{}"),   # same ts -> view 3
+        (5, us(40), 7, "click", 5.0, "{}"),      # ignored
+        (6, us(50), 7, "purchase", 6.0, "{}"),   # -> view 3 (click skipped)
+        (7, us(5), 8, "purchase", 7.0, "{}"),    # no prior view -> nulls
+        (8, us(6), 8, "view", 8.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/events.parquet"
+    )
+
+    got = {r.event_id: r for r in asof_join(spark, p).collect()}
+    assert set(got) == {2, 4, 6, 7}
+    assert got[2].view_event_id == 1 and got[2].view_value == 1.0
+    assert got[4].view_event_id == 3
+    assert got[6].view_event_id == 3
+    assert got[7].view_event_id is None and got[7].view_ts_us is None
