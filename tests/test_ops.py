@@ -863,3 +863,118 @@ def test_asof_join_tie_and_missing(spark, tmp_path):
     assert got[4].view_event_id == 3
     assert got[6].view_event_id == 3
     assert got[7].view_event_id is None and got[7].view_ts_us is None
+
+
+def test_substring_spans_randomized_vs_python(spark, tmp_path):
+    """Seeded random corpora from a tiny vocabulary (to force natural
+    k-gram repeats) vs an independent pure-python ExactSubstr: same dup
+    grams, same maximal-span merge."""
+    import random
+
+    from goskyr_spark.ops.substring import PLANT_N, repeated_substring_spans
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(PLANT_N, PLANT_N + 60):  # above PLANT_N: no planting
+        n = rng.randint(1, 30)
+        rows.append(
+            (doc_id, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", 0)
+        )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/documents.parquet"
+    )
+
+    k = 4
+    from collections import Counter
+
+    grams = Counter()
+    positions = {}
+    for doc_id, text, *_ in rows:
+        toks = text.split()
+        pos = [(i + 1, " ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        positions[doc_id] = pos
+        grams.update(g for _, g in pos)
+    expected = set()
+    for doc_id, pos in positions.items():
+        hot = sorted(i for i, g in pos if grams[g] > 1)
+        spans = []
+        for i in hot:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + k - 1)
+            else:
+                spans.append([i, i + k - 1])
+        for a, b in spans:
+            expected.add((doc_id, a, b, b - a + 1))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in repeated_substring_spans(spark, p, k=k).collect()
+    }
+    assert got == expected
+    assert expected  # tiny vocab must actually produce repeats
+
+
+def test_asof_join_randomized_vs_python(spark, tmp_path):
+    """Seeded random event streams with deliberate timestamp collisions
+    vs an independent pure-python as-of scan (same total order and tie
+    policy)."""
+    import datetime as dt
+    import random
+
+    from goskyr_spark.ops.events import asof_join
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(seconds=rng.randint(0, 120)),  # many ties
+                rng.randint(0, 9),
+                rng.choice(["view", "purchase", "click"]),
+                float(eid),
+                "{}",
+            )
+        )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/events.parquet"
+    )
+
+    expected = {}
+    by_user = {}
+    for eid, ts, uid, et, val, _ in rows:
+        if et in ("view", "purchase"):
+            by_user.setdefault(uid, []).append((ts, 0 if et == "view" else 1, eid, et, val))
+    for uid, evs in by_user.items():
+        last_view = None
+        for ts, _, eid, et, val in sorted(evs):
+            if et == "view":
+                last_view = (eid, ts, val)
+            else:
+                expected[eid] = last_view
+    got = {
+        r.event_id: (
+            None
+            if r.view_event_id is None
+            else (r.view_event_id, r.view_ts_us, r.view_value)
+        )
+        for r in asof_join(spark, p).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, exp in expected.items():
+        if exp is None:
+            assert got[eid] is None
+        else:
+            v_eid, v_ts, v_val = exp
+            g_eid, g_ts_us, g_val = got[eid]
+            assert g_eid == v_eid and g_val == v_val
+            assert g_ts_us == int(v_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
