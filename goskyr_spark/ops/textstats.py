@@ -152,7 +152,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for text in pdf["text"].tolist():
-                toks = split_ws.split(text.strip(java_ws).lower())
+                toks = split_ws.split((text or "").strip(java_ws).lower())
                 counts = Counter(toks)
                 n = len(toks)
                 if n >= 2:
