@@ -90,15 +90,22 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = NGRAM) -> DataFrame
     result (same broadcast set, zero extra passes when fused)."""
     path = f"{sf_dir}/documents.parquet"
     docs = spread_small_scan(spark, spark.read.parquet(path), path)
+    # explode_outer + output-null filter instead of explode: the plain
+    # form lets InferFiltersFromGenerate push size>0/isnotnull of the
+    # WHOLE gram HOF chain below the Generate, re-evaluating it
+    # (interpreted) twice more per row — see dedup.py
+    # minhash_signatures_from_shingles for the measurement.
     bench_grams = (
         docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
-        .select(F.explode(_word_grams(_tokens(), n)).alias("g"))
+        .select(F.explode_outer(_word_grams(_tokens(), n)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select(F.xxhash64("g").alias("gk"))
         .distinct()
     )
     train_grams = (
         _train_with_planted(docs)
-        .select("doc_id", F.explode(_word_grams(_tokens(), n)).alias("g"))
+        .select("doc_id", F.explode_outer(_word_grams(_tokens(), n)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .select("doc_id", F.xxhash64("g").alias("gk"))
     )
     return (

@@ -333,8 +333,14 @@ def ngram_jaccard_pairs(
                 lambda g: F.size(F.split(g, " ")) >= n,
             )
         )
-        posting = docs.select(
-            "doc_id", F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("gram")
+        posting = (
+            docs.select(
+                "doc_id",
+                F.explode_outer(F.transform(grams, lambda g: F.xxhash64(g))).alias(
+                    "gram"
+                ),
+            )
+            .filter(F.col("gram").isNotNull())
         )
     keep = posting.groupBy("gram").count().filter(F.col("count") <= df_cap).select("gram")
     posting = posting.join(keep, "gram", "left_semi")
@@ -371,9 +377,20 @@ def minhash_signatures_from_shingles(
 
     # h is reduced to 31 bits and a,b < 2^31 so a·h+b < 2^62 — no long
     # overflow (Spark 4 runs ANSI mode; overflow would throw).
-    sh = shingles.select(
-        "doc_id", F.explode("shingles").alias("sh64")
-    ).select("doc_id", F.pmod(F.col("sh64"), F.lit(1 << 31)).alias("h"))
+    #
+    # explode_outer + post-Generate null filter, NOT explode: plain
+    # explode makes InferFiltersFromGenerate push `size(child) > 0 AND
+    # isnotnull(child)` below the Generate, and when the shingle array
+    # is an inline HOF chain (the batch path) that interpreted chain
+    # re-evaluates per conjunct per row — measured 3.8 s vs 0.7 s for
+    # the 500-doc incremental batch. The null filter on the OUTPUT
+    # column cannot push below the Generate; results are identical
+    # (empty arrays contribute no rows either way).
+    sh = (
+        shingles.select("doc_id", F.explode_outer("shingles").alias("sh64"))
+        .filter(F.col("sh64").isNotNull())
+        .select("doc_id", F.pmod(F.col("sh64"), F.lit(1 << 31)).alias("h"))
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -499,9 +516,13 @@ def _simhash_fingerprints(docs: DataFrame) -> DataFrame:
     position votes ±1 weighted by token frequency; fingerprint bit b =
     sign of the vote sum. Pure built-ins: explode tokens → 60
     conditional sums → shifted-bit assembly."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok")
-    ).select("doc_id", _md5_60(F.col("tok")).alias("h"))
+    toks = (
+        docs.select(
+            "doc_id", F.explode_outer(F.split(F.trim("text"), "\\s+")).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", _md5_60(F.col("tok")).alias("h"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -796,8 +817,10 @@ def incremental_dedup(
     all-pairs batch × corpus exact Jaccard in DuckDB (banding recall is
     1 on this corpus — planted dups sit at J ≈ 0.97 where the 16×4
     S-curve admits with P ≈ 1-1e-18)."""
-    docs = _docs(spark, sf_dir)
-    batch = _incr_batch(docs)
+    # batch side reads the (small) arriving slice — spread it so the
+    # shingle/signature chain isn't serialized on the scan's 1-2 splits
+    # (no-op at production batch sizes, same as the corpus builds)
+    batch = _incr_batch(_docs_spread(spark, sf_dir))
     batch_sh = _shingle_arrays(batch, shingle_k)
     sig = minhash_signatures_from_shingles(batch_sh, n_perm).select(
         "doc_id", F.array(*[f"mh{i}" for i in range(n_perm)]).alias("sig")

@@ -91,10 +91,17 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % LM_MOD == LM_REM)
     scored = docs.filter(F.col("doc_id") % LM_MOD != LM_REM)
 
-    ref_tok = ref.select(F.explode(_tokens()).alias("tok"))
+    ref_tok = ref.select(F.explode_outer(_tokens()).alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
     unigrams = ref_tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    # explode_outer + output-null filter: plain explode would push the
+    # whole bigram HOF chain into an inferred pre-Generate filter and
+    # re-evaluate it interpreted per conjunct (see dedup.py
+    # minhash_signatures_from_shingles)
     bigrams = (
-        ref.select(F.explode(_bigram_structs(_tokens())).alias("b"))
+        ref.select(F.explode_outer(_bigram_structs(_tokens())).alias("b"))
+        .filter(F.col("b").isNotNull())
         .groupBy(F.col("b.g").alias("g"))
         .agg(F.count("*").alias("c12"))
     )
@@ -103,7 +110,8 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigrams.agg(F.count("*").alias("v"))
 
     doc_bigrams = (
-        scored.select("doc_id", F.explode(_bigram_structs(_tokens())).alias("b"))
+        scored.select("doc_id", F.explode_outer(_bigram_structs(_tokens())).alias("b"))
+        .filter(F.col("b").isNotNull())
         .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.g").alias("g"))
         .agg(F.count("*").alias("n"))
     )

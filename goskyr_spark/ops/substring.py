@@ -85,8 +85,14 @@ def _gram_positions(df: DataFrame, k: int) -> DataFrame:
     guarded = F.when(F.size(toks) >= k, gks).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.select("doc_id", F.posexplode(guarded).alias("pos0", "gk")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "gk"
+    # posexplode_outer + output-null filter: the plain form pushes an
+    # inferred size>0/isnotnull filter of the whole hash-transform chain
+    # below the Generate and re-evaluates it interpreted per conjunct
+    # (see dedup.py minhash_signatures_from_shingles)
+    return (
+        df.select("doc_id", F.posexplode_outer(guarded).alias("pos0", "gk"))
+        .filter(F.col("gk").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gk")
     )
 
 
