@@ -173,15 +173,21 @@ def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     collisions are negligible below ~2^32 distinct grams; the DuckDB
     oracle uses the strings directly and agrees)."""
     words = F.split(F.trim("text"), "\\s+")
+    # index positions 1..size-k+1 so every gram is full-width — one HOF
+    # pass instead of transform-all + filter-with-a-split-per-gram (the
+    # former shape re-split every gram just to count its words; HOFs are
+    # interpreted, so the extra passes were real time). ANSI guard: the
+    # sequence would be descending for docs shorter than k tokens.
+    idx = F.sequence(F.lit(1), F.size(words) - (k - 1))
+    guarded = F.when(F.size(words) >= k, idx).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.array_distinct(
-        F.filter(
-            F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-            lambda g: F.size(F.split(g, " ")) >= k,
+        F.transform(
+            guarded, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
         )
     )
-    return docs.select(
-        "doc_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("shingles")
-    )
+    return docs.select("doc_id", grams.alias("shingles"))
 
 
 def shingle_table(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
@@ -327,21 +333,18 @@ def ngram_jaccard_pairs(
     else:
         docs = _docs(spark, sf_dir)
         words = F.split(F.trim("text"), "\\s+")
+        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+        guarded = F.when(F.size(words) >= n, idx).otherwise(
+            F.array().cast("array<int>")
+        )
         grams = F.array_distinct(
-            F.filter(
-                F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, n))),
-                lambda g: F.size(F.split(g, " ")) >= n,
+            F.transform(
+                guarded, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
             )
         )
-        posting = (
-            docs.select(
-                "doc_id",
-                F.explode_outer(F.transform(grams, lambda g: F.xxhash64(g))).alias(
-                    "gram"
-                ),
-            )
-            .filter(F.col("gram").isNotNull())
-        )
+        posting = docs.select(
+            "doc_id", F.explode_outer(grams).alias("gram")
+        ).filter(F.col("gram").isNotNull())
     keep = posting.groupBy("gram").count().filter(F.col("count") <= df_cap).select("gram")
     posting = posting.join(keep, "gram", "left_semi")
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
