@@ -95,16 +95,21 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = NGRAM) -> DataFrame
     # WHOLE gram HOF chain below the Generate, re-evaluating it
     # (interpreted) twice more per row — see dedup.py
     # minhash_signatures_from_shingles for the measurement.
+    # token arrays materialized in their own projection (blocks
+    # CollapseProject): a lambda reference to an inline split
+    # re-tokenizes per element — O(tokens²) per row
     bench_grams = (
         docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
-        .select(F.explode_outer(_word_grams(_tokens(), n)).alias("g"))
+        .select(_tokens().alias("t"))
+        .select(F.explode_outer(_word_grams(F.col("t"), n)).alias("g"))
         .filter(F.col("g").isNotNull())
         .select(F.xxhash64("g").alias("gk"))
         .distinct()
     )
     train_grams = (
         _train_with_planted(docs)
-        .select("doc_id", F.explode_outer(_word_grams(_tokens(), n)).alias("g"))
+        .select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.explode_outer(_word_grams(F.col("t"), n)).alias("g"))
         .filter(F.col("g").isNotNull())
         .select("doc_id", F.xxhash64("g").alias("gk"))
     )

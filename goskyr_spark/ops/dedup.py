@@ -172,22 +172,27 @@ def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     per doc. Hash identity stands in for string identity (64-bit
     collisions are negligible below ~2^32 distinct grams; the DuckDB
     oracle uses the strings directly and agrees)."""
-    words = F.split(F.trim("text"), "\\s+")
+    # token array materialized in its own projection: a lambda body's
+    # reference to an outer expression re-evaluates PER ELEMENT — an
+    # inline split would re-tokenize the doc once per gram position,
+    # O(tokens²) per row at production page sizes. The multi-referenced
+    # non-trivial alias blocks CollapseProject, so the transform slices
+    # a bound column.
+    wdf = docs.select("doc_id", F.split(F.trim("text"), "\\s+").alias("ws"))
+    ws = F.col("ws")
     # index positions 1..size-k+1 so every gram is full-width — one HOF
     # pass instead of transform-all + filter-with-a-split-per-gram (the
     # former shape re-split every gram just to count its words; HOFs are
     # interpreted, so the extra passes were real time). ANSI guard: the
     # sequence would be descending for docs shorter than k tokens.
-    idx = F.sequence(F.lit(1), F.size(words) - (k - 1))
-    guarded = F.when(F.size(words) >= k, idx).otherwise(
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    guarded = F.when(F.size(ws) >= k, idx).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.array_distinct(
-        F.transform(
-            guarded, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
-        )
+        F.transform(guarded, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, k))))
     )
-    return docs.select("doc_id", grams.alias("shingles"))
+    return wdf.select("doc_id", grams.alias("shingles"))
 
 
 def shingle_table(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
@@ -331,20 +336,11 @@ def ngram_jaccard_pairs(
         sh = shingle_table(spark, sf_dir, k=3)
         posting = sh.select("doc_id", F.explode("shingles").alias("gram"))
     else:
-        docs = _docs(spark, sf_dir)
-        words = F.split(F.trim("text"), "\\s+")
-        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-        guarded = F.when(F.size(words) >= n, idx).otherwise(
-            F.array().cast("array<int>")
+        posting = (
+            _shingle_arrays(_docs(spark, sf_dir), n)
+            .select("doc_id", F.explode_outer("shingles").alias("gram"))
+            .filter(F.col("gram").isNotNull())
         )
-        grams = F.array_distinct(
-            F.transform(
-                guarded, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
-            )
-        )
-        posting = docs.select(
-            "doc_id", F.explode_outer(grams).alias("gram")
-        ).filter(F.col("gram").isNotNull())
     keep = posting.groupBy("gram").count().filter(F.col("count") <= df_cap).select("gram")
     posting = posting.join(keep, "gram", "left_semi")
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

@@ -98,9 +98,12 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode_outer + output-null filter: plain explode would push the
     # whole bigram HOF chain into an inferred pre-Generate filter and
     # re-evaluate it interpreted per conjunct (see dedup.py
-    # minhash_signatures_from_shingles)
+    # minhash_signatures_from_shingles). The token array is materialized
+    # in its own projection first — a lambda reference to an inline
+    # split re-tokenizes per element, O(tokens²) per row.
     bigrams = (
-        ref.select(F.explode_outer(_bigram_structs(_tokens())).alias("b"))
+        ref.select(_tokens().alias("t"))
+        .select(F.explode_outer(_bigram_structs(F.col("t"))).alias("b"))
         .filter(F.col("b").isNotNull())
         .groupBy(F.col("b.g").alias("g"))
         .agg(F.count("*").alias("c12"))
@@ -110,7 +113,8 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigrams.agg(F.count("*").alias("v"))
 
     doc_bigrams = (
-        scored.select("doc_id", F.explode_outer(_bigram_structs(_tokens())).alias("b"))
+        scored.select("doc_id", _tokens().alias("t"))
+        .select("doc_id", F.explode_outer(_bigram_structs(F.col("t"))).alias("b"))
         .filter(F.col("b").isNotNull())
         .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.g").alias("g"))
         .agg(F.count("*").alias("n"))

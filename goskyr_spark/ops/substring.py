@@ -77,12 +77,16 @@ def _gram_positions(df: DataFrame, k: int) -> DataFrame:
     xxhash64 of the space-joined gram. Hashes are computed INSIDE the
     array transform so the generate explodes fixed-width longs — the
     token array never survives past the projection."""
-    toks = _tokens()
+    # token array materialized in its own projection (multi-referenced
+    # alias blocks CollapseProject): a lambda reference to an inline
+    # split re-tokenizes per element — O(tokens²) per row
+    wdf = df.select("doc_id", _tokens().alias("ws"))
+    ws = F.col("ws")
     gks = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i, k))),
     )
-    guarded = F.when(F.size(toks) >= k, gks).otherwise(
+    guarded = F.when(F.size(ws) >= k, gks).otherwise(
         F.array().cast("array<bigint>")
     )
     # posexplode_outer + output-null filter: the plain form pushes an
@@ -90,7 +94,7 @@ def _gram_positions(df: DataFrame, k: int) -> DataFrame:
     # below the Generate and re-evaluates it interpreted per conjunct
     # (see dedup.py minhash_signatures_from_shingles)
     return (
-        df.select("doc_id", F.posexplode_outer(guarded).alias("pos0", "gk"))
+        wdf.select("doc_id", F.posexplode_outer(guarded).alias("pos0", "gk"))
         .filter(F.col("gk").isNotNull())
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gk")
     )

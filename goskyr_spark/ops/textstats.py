@@ -194,13 +194,29 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 
     docs = spread_small_scan(
         spark, _docs(spark, sf_dir), f"{sf_dir}/documents.parquet"
     )
-    words = F.split(F.trim("text"), "\\s+")
-    grams = F.filter(
-        F.transform(words, lambda w, i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-        lambda g: F.size(F.split(g, " ")) >= k,
+    # token array MATERIALIZED in its own projection first: a lambda
+    # body's reference to an outer expression re-evaluates it PER
+    # ELEMENT (the split would run once per gram position — O(n²) token
+    # splitting per row); the multi-referenced non-trivial alias blocks
+    # CollapseProject, so the transform slices a bound column instead.
+    wdf = docs.select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("ws")
+    )
+    ws = F.col("ws")
+    # single index-guarded pass: positions 1..size-k+1 yield only
+    # full-width grams, hashed inside the same transform (the former
+    # transform-all + filter-with-a-split-per-gram + second transform
+    # shape ran three interpreted HOF passes per row). ANSI guard: the
+    # sequence is descending for docs shorter than k tokens.
+    gidx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    gguard = F.when(F.size(ws) >= k, gidx).otherwise(
+        F.array().cast("array<int>")
     )
     hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        gguard,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, k))), 1, 15), 16, 10
+        ).cast("long"),
     )
     # MATERIALIZE the hash array in its own projection before the
     # sliding-window pass: the window transform references the array
@@ -209,7 +225,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 
     # calls (measured 214 s at sf0.1 vs ~2 s materialized). A multi-
     # referenced non-trivial alias blocks CollapseProject, so the
     # projection boundary is stable.
-    h = docs.select("doc_id", hashes.alias("hs"))
+    h = wdf.select("doc_id", hashes.alias("hs"))
     hs = F.col("hs")
     # windows of `window` consecutive hashes → min each → distinct.
     # sequence() is guarded: stop < start would yield a DESCENDING range.
