@@ -20,8 +20,10 @@ from goskyr_spark.ops import (
     decontam,
     dedup,
     events,
+    linkrank,
     lmscore,
     multimodal,
+    paragraphs,
     relational,
     sampling,
     similarity,
@@ -96,6 +98,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_pii_redact": textstats.pii_redact,
         "text_repetition_signals": textstats.repetition_signals,
+        # CCNet-style paragraph-level boilerplate dedup (first occurrence
+        # wins; fixed-width token chunks stand in for newline paragraphs
+        # on the single-line synthetic corpus)
+        "text_paragraph_dedup": paragraphs.paragraph_dedup,
         # training-mix construction (deterministic md5-keyed sampling,
         # stratum accounting, exact percentiles)
         "sample_stratified": sampling.stratified_sample,
@@ -120,11 +126,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_prep": trainprep.training_prep,
         # multimodal plumbing (oracle-checkable fragment)
         "multimodal_binary_meta": multimodal.documents_as_binary,
+        # link-graph PageRank over the parsed corpus anchors (frontier
+        # prioritization signal; 3 unrolled power iterations)
+        "crawl_link_rank": _crawl_link_rank,
         # crawl engine + auto-config generation demos (non-SQL-expressible;
         # rows-only check here, full gates in tests/)
         "crawl_visit_log": _crawl_visit_log,
         "generate_configs": _generate_configs,
     }
+
+
+def _crawl_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank over the synthetic corpus's link graph,
+    derived the honest way: generate the pages in Spark, parse every
+    page's HTML with the extraction engine's Arrow pass, take the
+    resolved anchors. The oracle replays the same pure-arithmetic edge
+    list (the corpus link graph is a function of CorpusSpec(seed=9) —
+    the correspondence between that arithmetic and the parsed anchors
+    is already proven by the crawl_visit_log oracle) and unrolls the
+    same 3 damped iterations as SQL."""
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(
+        n_hosts=4, list_pages_per_host=2, items_per_page=4, mega_factor=2, seed=9
+    )
+    edges = linkrank.corpus_link_edges(spark, spec)
+    return linkrank.pagerank(edges)
 
 
 def _crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +400,77 @@ def _crawl_visit_log_oracle() -> str:
         SELECT url, CAST(1 AS INTEGER) AS round_id, host, visit_rank FROM sel1
         UNION ALL
         SELECT url, CAST(2 AS INTEGER) AS round_id, host, visit_rank FROM sel2
+    """
+
+
+def _crawl_link_rank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """SQL replica of _crawl_link_rank: the corpus's distinct link set
+    enumerated by the same pure-python page arithmetic the generator
+    uses (kept in lockstep with spark/corpus.py list_html — the
+    visit-log oracle proves the arithmetic ↔ parsed-anchor
+    correspondence), then ``iters`` damped power iterations unrolled as
+    CTEs: per-iteration dangling mass (nodes without out-links)
+    redistributed uniformly, contributions summed per in-neighbor.
+    Float constants are embedded via repr so both engines evaluate the
+    bit-identical doubles; output rounded to 6 (summation-order
+    cushion, same convention as the cosine/Jaccard oracles)."""
+    from goskyr_spark.spark.corpus import CorpusSpec, _h
+
+    spec = CorpusSpec(
+        n_hosts=4, list_pages_per_host=2, items_per_page=4, mega_factor=2, seed=9
+    )
+    edges: set[tuple[str, str]] = set()
+    for h in range(spec.n_hosts):
+        base = spec.host_base(h)
+        np_ = spec.list_pages_of(h)
+        for p in range(np_):
+            parent = f"{base}/list/{p}"
+            outs = {f"{base}/item/{p}-{i}" for i in range(spec.items_per_page)}
+            if p + 1 < np_:
+                outs.add(f"{base}/list/{p + 1}")
+            sidebar = {0, (p * 7 + 3) % np_, (p * 13 + 1) % np_,
+                       _h(spec.seed, "sb", h, p) % np_}
+            outs |= {f"{base}/list/{j}" for j in sidebar}
+            cross = spec.host_base(
+                (h + 1 + _h(spec.seed, "x", h, p) % max(1, spec.n_hosts - 1))
+                % spec.n_hosts
+            )
+            outs.add(f"{cross}/list/0")
+            if spec.host_disallows_private(h):
+                outs.add(f"{base}/private/admin")
+            edges |= {(parent, c) for c in outs}
+
+    edge_rows = ",\n            ".join(
+        f"('{s}', '{d}')" for s, d in sorted(edges)
+    )
+    base_lit = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
+    damp_lit = f"CAST('{damping!r}' AS DOUBLE)"
+
+    def iter_ctes(i: int) -> str:
+        prev = f"r{i}"
+        return f"""
+        dang{i} AS (SELECT COALESCE(SUM(r), 0.0) AS dg FROM {prev}
+                    LEFT JOIN deg ON {prev}.u = deg.src WHERE deg.src IS NULL),
+        c{i} AS (SELECT e.dst AS u, SUM({prev}.r / deg.c) AS s
+                 FROM e JOIN deg ON e.src = deg.src
+                        JOIN {prev} ON {prev}.u = e.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (SELECT nodes.u AS u,
+                            {base_lit} / n + {damp_lit}
+                              * (COALESCE(c{i}.s, 0.0) + dg / n) AS r
+                     FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+                          LEFT JOIN c{i} ON c{i}.u = nodes.u)"""
+
+    its = ",".join(iter_ctes(i) for i in range(iters))
+    return f"""
+        WITH e(src, dst) AS (VALUES
+            {edge_rows}),
+        nodes AS (SELECT src AS u FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT u, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+        {its}
+        SELECT u AS url, ROUND(r, 6) AS link_rank FROM r{iters}
     """
 
 
@@ -965,6 +1063,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5
             FROM documents
         """,
+        # CCNet-style paragraph dedup: same planted corpus, same
+        # fixed-width chunker, first occurrence by (doc_id, pos), docs
+        # reassembled by string_agg in paragraph order (string_agg skips
+        # the NULLs of dropped paragraphs, matching the conditional
+        # collect_list). Spark keys the window on xxhash64(para); the
+        # oracle partitions on the string — the documented 64-bit
+        # collision assumption the shingle tables share.
+        "text_paragraph_dedup": f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + {dedup.PLANT_OFFSET}, text FROM documents
+                WHERE doc_id < {dedup.PLANT_N}),
+            w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                  FROM base),
+            c AS (SELECT doc_id, ws,
+                         CAST(ceil(len(ws) / {float(paragraphs.PARA_WIDTH)}) AS INT) AS nc
+                  FROM w),
+            p AS (SELECT doc_id, i AS pos,
+                         array_to_string(
+                             ws[i * {paragraphs.PARA_WIDTH} + 1
+                                : i * {paragraphs.PARA_WIDTH} + {paragraphs.PARA_WIDTH}],
+                             ' ') AS para
+                  FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)),
+            r AS (SELECT doc_id, pos, para,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY para ORDER BY doc_id, pos) AS rn
+                  FROM p)
+            SELECT doc_id,
+                   COUNT(*) AS n_paras,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       ' ' ORDER BY pos), '') AS text
+            FROM r GROUP BY doc_id
+        """,
+        # link-graph PageRank: VALUES-embedded distinct edge set + 3
+        # unrolled damped iterations — see _crawl_link_rank_oracle
+        "crawl_link_rank": _crawl_link_rank_oracle(),
         # the crawl engine itself: three rounds of the full dataflow
         # (robots admission → seen anti-join → politeness top-k →
         # priority-classed frontier expansion) unrolled as SQL over the

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_doc_fingerprint",
     "text_repetition_signals",
+    "text_paragraph_dedup",
+    "crawl_link_rank",
 ]
 
 

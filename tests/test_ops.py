@@ -978,3 +978,97 @@ def test_asof_join_randomized_vs_python(spark, tmp_path):
             g_eid, g_ts_us, g_val = got[eid]
             assert g_eid == v_eid and g_val == v_val
             assert g_ts_us == int(v_ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark, mini_docs):
+    """CCNet paragraph dedup: an exact-copy document loses every
+    paragraph to its original; unique documents keep everything and
+    reassemble to their whitespace-normalized text."""
+    from goskyr_spark.ops.paragraphs import paragraph_dedup
+
+    out = {r["doc_id"]: r for r in paragraph_dedup(spark, mini_docs).collect()}
+    # doc 101 is an exact copy of 100 — every paragraph already seen
+    assert out[101]["n_kept"] == 0 and out[101]["text"] == ""
+    assert out[100]["n_kept"] == out[100]["n_paras"] > 0
+    # the planted union's copy of doc 0 likewise loses everything
+    assert out[1_000_000]["n_kept"] == 0
+    # a unique doc reassembles to its normalized original text
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(mini_docs + "/documents.parquet").collect()
+    }
+    assert out[103]["text"] == " ".join(orig[103].split())
+    assert out[103]["n_kept"] == out[103]["n_paras"]
+
+
+def test_paragraph_dedup_within_doc_repeats(spark, tmp_path):
+    """A paragraph repeated WITHIN one document survives only at its
+    first position (width=2 chunks for a hand-checkable layout)."""
+    from goskyr_spark.ops.paragraphs import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c d", "en", "s", 0), (1, "x y a b", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "pd")
+    df.write.mode("overwrite").parquet(p + "/documents.parquet")
+    out = {r["doc_id"]: r for r in paragraph_dedup(spark, p, width=2).collect()}
+    # doc 0 chunks: [a b][a b][c d] → second 'a b' dropped
+    assert out[0]["n_paras"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["text"] == "a b c d"
+    # doc 1 chunks: [x y][a b] → 'a b' already seen in doc 0
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text"] == "x y"
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    """Distributed fixed-iteration PageRank == the same recurrence run
+    in plain python (damping, uniform dangling redistribution)."""
+    from goskyr_spark.ops.linkrank import pagerank
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"),  # e is dangling
+        ("a", "b"),  # duplicate edge must collapse
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r["url"]: r["link_rank"] for r in pagerank(edges, iters=4).collect()}
+
+    dedup_edges = sorted(set(edge_list))
+    nodes = sorted({u for e in dedup_edges for u in e})
+    outs: dict[str, list[str]] = {}
+    for s, d in dedup_edges:
+        outs.setdefault(s, []).append(d)
+    n = float(len(nodes))
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(4):
+        dang = sum(r[u] for u in nodes if u not in outs)
+        contrib = {u: 0.0 for u in nodes}
+        for s, ds in outs.items():
+            for d in ds:
+                contrib[d] += r[s] / len(ds)
+        r = {u: 0.15 / n + 0.85 * (contrib[u] + dang / n) for u in nodes}
+    for u in nodes:
+        # the operator rounds to 6 decimals for cross-engine comparison
+        assert abs(got[u] - r[u]) < 5.1e-7, (u, got[u], r[u])
+    # total rank mass is invariant at 1
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_corpus_link_edges_match_enumeration(spark):
+    """Parsed-anchor edge derivation == the pure-arithmetic enumeration
+    the oracle embeds (list pages link items/next/sidebar/cross/private;
+    item pages are dangling)."""
+    import __spark_entry__ as entrymod
+    from goskyr_spark.ops.linkrank import corpus_link_edges
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(
+        n_hosts=4, list_pages_per_host=2, items_per_page=4, mega_factor=2, seed=9
+    )
+    got = {(r["src"], r["dst"]) for r in corpus_link_edges(spark, spec).collect()}
+    sql = entrymod._crawl_link_rank_oracle()
+    import re
+
+    want = set(re.findall(r"\('(\S+)', '(\S+)'\)", sql))
+    assert got == want

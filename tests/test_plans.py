@@ -293,3 +293,34 @@ def test_substring_spans_single_span_exchange(spark):
     # span stages add NO exchange beyond the doc_id one
     after_sort = plan.split("Sort", 1)[0]
     assert len(re.findall(r"\(\d+\) Exchange", after_sort)) <= 1, plan
+
+
+def test_paragraph_dedup_two_linear_shuffles(spark):
+    """Paragraph dedup is exactly two linear exchanges — the paragraph-
+    key window and the doc_id reassembly aggregate (the conditional
+    collect_list folds totals + survivors into ONE groupBy; a totals
+    join would be a third shuffle). No self-join, no python in the row
+    path."""
+    import re
+
+    from goskyr_spark.ops.paragraphs import paragraph_dedup
+
+    plan = plan_of(paragraph_dedup(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "xxhash64" in plan, plan  # window keys on the 64-bit digest
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_broadcasts_corpus_scalars(spark):
+    """The per-iteration scalars (node count, dangling mass) must ride
+    as broadcast one-row joins — never a collect — and the rank⋈edge
+    join must not broadcast the unbounded rank/edge sides."""
+    from goskyr_spark.ops.linkrank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = plan_of(pagerank(edges, iters=2))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row crossJoins
+    assert "CartesianProduct" not in plan, plan
