@@ -1072,3 +1072,51 @@ def test_corpus_link_edges_match_enumeration(spark):
 
     want = set(re.findall(r"\('(\S+)', '(\S+)'\)", sql))
     assert got == want
+
+
+def test_paragraph_dedup_randomized_vs_python(spark, tmp_path):
+    """Seeded random corpora from a tiny vocabulary (forcing natural
+    chunk collisions) vs an independent pure-python first-occurrence
+    reference: same kept sets, counts, and reassembled text. doc_ids
+    start above PLANT_N so the planted-union adds nothing."""
+    import random
+
+    from goskyr_spark.ops.dedup import PLANT_N
+    from goskyr_spark.ops.paragraphs import paragraph_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(6)]
+    width = 3
+    rows = []
+    for doc_id in range(PLANT_N, PLANT_N + 50):
+        n = rng.randint(1, 25)
+        rows.append(
+            (doc_id, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", 0)
+        )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        p + "/documents.parquet"
+    )
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text, *_ in rows:  # rows are in (doc_id, pos) order already
+        toks = text.split()
+        chunks = [
+            " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expected[doc_id] = (len(chunks), len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text)
+        for r in paragraph_dedup(spark, p, width=width).collect()
+    }
+    assert got == expected
+    # the tiny vocabulary must actually produce cross-doc collisions
+    assert any(k < n for n, k, _ in expected.values())
