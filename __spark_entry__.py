@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup.incremental_dedup,
         "dedup_simhash": dedup.simhash_dup_pairs,
         "dedup_embedding_cosine": dedup.embedding_cosine_dups,
+        # SemDeDup: cluster-then-pairwise semantic dedup (within-cell
+        # cosine, keep-lowest-id) — the scale answer to paraphrase dups
+        "dedup_semantic": dedup.semantic_dedup,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -646,6 +649,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.99
+        """,
+        # SemDeDup oracle replicates the algorithm end-to-end: the same
+        # fixed sample centroids (vec_id < 8), first-wins argmax
+        # assignment (ROW_NUMBER sim DESC, cell ASC ≡ Spark's
+        # array_position-of-array_max), within-cell pairwise cosine
+        # rounded to 4 dp, keep-lowest-id
+        "dedup_semantic": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE vec_id < 25),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
+            sims AS (SELECT n.vec_id, c.cell,
+                            list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS sim
+                     FROM n CROSS JOIN c),
+            assign AS (SELECT vec_id, cell FROM (
+                           SELECT vec_id, cell,
+                                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cell ASC) AS rn
+                           FROM sims)
+                       WHERE rn = 1),
+            p AS (SELECT ab.vec_id, aa.vec_id AS keep_cand, ab.cell
+                  FROM assign aa
+                  JOIN assign ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+                  JOIN n a ON a.vec_id = aa.vec_id
+                  JOIN n b ON b.vec_id = ab.vec_id
+                  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.97)
+            SELECT vec_id, MIN(keep_cand) AS keeper, CAST(cell AS INTEGER) AS cell
+            FROM p GROUP BY vec_id, cell
         """,
         # replicates the LSH algorithm itself: identical hyperplane
         # constants as literals, same probe set, same ordering

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_char_jaccard_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "dedup_incremental",
     "dedup_substring_spans",
     "ann_cosine_topk",

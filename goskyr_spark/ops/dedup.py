@@ -644,7 +644,8 @@ def embedding_tables(
     n_planes: int = 48,
     bands: int = 6,
     plant: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+    with_banded: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Materialized corpus-adjacent embedding intermediates (same
     write-once discipline as the shingle table): the normed vectors are
     read three times by the near-dup op (band source + both verify
@@ -672,6 +673,8 @@ def embedding_tables(
 
     tok = _corpus_token(sf_dir, "embeddings.parquet")
     e = _materialized(spark, ("emb_norm", tok, plant), build_norm)
+    if not with_banded:
+        return e, None
     banded = _materialized(
         spark,
         ("emb_banded", tok, n_planes, bands, plant),
@@ -733,6 +736,79 @@ def embedding_cosine_dups(
         .withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    threshold: float = 0.97,
+    plant: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space into ``n_cells`` cells, then deduplicate WITHIN each cell only
+    — a vector is dropped when a same-cell vector with a lower vec_id
+    has cosine ≥ ``threshold`` (keep-lowest-id: the deterministic
+    stand-in for the paper's keep-closest-to-centroid policy, which
+    would tie-break on float distances the oracle can't replicate
+    bit-exactly).
+
+    Scale shape — this is the op whose DESIGN is the scale argument:
+    semantic near-dups (paraphrases, boilerplate rewrites) defeat
+    lexical LSH, and all-pairs cosine is O(N²); SemDeDup's clustering
+    bounds the pairwise work to Σ|cell|², with n_cells grown
+    proportionally to the corpus so |cell| stays constant (the paper
+    runs k = 11k on LAION-440M ⇒ ~40k vectors/cell). Here cell
+    assignment is a zero-shuffle projection (array-argmax over
+    broadcast centroid literals, similarity._with_cell — NEVER a
+    when-chain, see CLAUDE.md), and the only shuffle is the within-cell
+    self-join keyed on cell. Fixed sample centroids (vec_id < n_cells,
+    the ivf_topk convention) keep the DuckDB oracle replicable;
+    production swaps in train_ivf_centroids() Lloyd centroids — the
+    assignment plan is identical — and a banded-LSH prefilter inside
+    any cell that exceeds the pairwise budget.
+
+    ``plant=True`` unions exact copies of vec_id < PLANT_N (as
+    embedding_tables does for embedding_cosine_dups) so the result is
+    non-vacuous: the corpus has no natural cos ≥ 0.97 pair (measured
+    max 0.513), so exactly the 25 planted copies drop, keeper = the
+    original. Returns dropped rows (vec_id, keeper, cell)."""
+    from .similarity import _with_cell, dot
+
+    e, _ = embedding_tables(spark, sf_dir, plant=plant, with_banded=False)
+    # n_cells × dim floats to the driver — the documented IVF exception
+    # to the no-collect rule (VERDICT r2 plan audit).
+    cents = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+    assigned = _with_cell(e, cents).select("vec_id", "embedding", "norm", "cell")
+    a = assigned.select(
+        F.col("vec_id").alias("keep_cand"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "cell",
+    )
+    b = assigned.select(
+        "vec_id",
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "cell",
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 4
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("keep_cand") < F.col("vec_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy("vec_id", "cell")
+        .agg(F.min("keep_cand").alias("keeper"))
+        .select("vec_id", "keeper", "cell")
     )
 
 

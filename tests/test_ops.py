@@ -150,6 +150,53 @@ def test_embedding_cosine_dups_planted(spark):
     assert all(r["cosine"] == 1.0 for r in rows)
 
 
+def test_semantic_dedup_planted(spark):
+    """SemDeDup (within-cell cosine, keep-lowest-id): each planted
+    exact copy lands in its original's cell (identical vector ⇒
+    identical argmax) and drops with keeper = the original; the natural
+    corpus contributes nothing at 0.97 (measured max cosine 0.513)."""
+    from goskyr_spark.ops.dedup import PLANT_N, PLANT_OFFSET, semantic_dedup
+
+    rows = semantic_dedup(spark, SF).collect()
+    assert len(rows) == PLANT_N
+    assert all(r["keeper"] == r["vec_id"] - PLANT_OFFSET for r in rows)
+    assert all(0 <= r["cell"] < 8 for r in rows)
+
+
+def test_semantic_dedup_transitive_keeps_lowest(spark, tmp_path):
+    """Three mutually-similar vectors in one cell collapse onto the
+    single lowest id (both higher ids report keeper = lowest, not a
+    chain)."""
+    import pandas as pd
+
+    from goskyr_spark.ops.dedup import semantic_dedup
+
+    def unit(i):
+        v = [0.0] * 64
+        v[i] = 1.0
+        return v
+
+    def near_base(i):
+        v = [0.0] * 64
+        v[0] = 1.0
+        v[i] = 0.01
+        return v
+
+    # centroids (ids 0-3) are orthogonal units; ids 4-6 are slight
+    # perturbations of centroid 0 (pairwise cos ≈ 0.9999); ids 7-9 are
+    # orthogonal to everything (cos 0 — assigned somewhere, never dup)
+    vecs = [unit(0), unit(16), unit(32), unit(48),
+            near_base(1), near_base(2), near_base(3),
+            unit(10), unit(20), unit(30)]
+    pdf = pd.DataFrame({"vec_id": range(10), "embedding": vecs})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet")
+    rows = {r["vec_id"]: r["keeper"]
+            for r in semantic_dedup(spark, str(d), n_cells=4, plant=False).collect()}
+    assert rows == {4: 0, 5: 0, 6: 0}
+
+
 def test_hyperplane_bits_dim_safety(spark):
     """Regression (round-1 advice): a vector wider than the plane must
     NOT null out the dot product (zip_with pads to the LONGER array) —
