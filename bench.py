@@ -98,12 +98,22 @@ def bench_queries(spark) -> dict[str, float]:
     for t in embedding_tables(spark, SF_DIR):
         t.count()
     out["dedup_intermediates_build"] = round(time.time() - t0, 3)
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.time()
-        force(fn(spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-    return out
+    # Same min-of-2 discipline as the crawl leg (CLAUDE.md: single-shot
+    # walls vary 10-30% on this box; a long 40-query session adds its
+    # own GC/codegen-cache churn — one full-bench pass measured
+    # embedding-cosine at 9.3 s where an isolated session sustains
+    # 1.2 s). The min is the steady-state operator cost; both walls go
+    # into the JSON under query_walls.
+    raw: dict[str, list[float]] = {}
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.time()
+            force(fn(spark, SF_DIR))
+            raw.setdefault(name, []).append(round(time.time() - t0, 3))
+    for name, walls in raw.items():
+        out[name] = min(walls)
+    return out, raw
 
 
 def bench_crawl(
@@ -155,7 +165,7 @@ def bench_crawl(
 def main():
     spark = build_session(app_name="goskyr-bench", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
-    queries = bench_queries(spark)
+    queries, query_walls = bench_queries(spark)
     ups_core, urls, crawl_wall, crawl_walls = bench_crawl(spark)
     queries["crawl_full"] = crawl_wall
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -170,6 +180,7 @@ def main():
                 "crawl_walls": crawl_walls,
                 "cores": CPUS,
                 "queries": queries,
+                "query_walls": query_walls,
                 "sf": float(sf),
             }
         )
