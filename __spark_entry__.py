@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_pii_redact": textstats.pii_redact,
+        # C4/CCNet first-pass normalization (NFC + control strip + ws
+        # collapse) — Arrow pass; oracle via DuckDB nfc_normalize
+        "text_normalize": textstats.normalize_text,
         "text_repetition_signals": textstats.repetition_signals,
         # CCNet-style paragraph-level boilerplate dedup (first occurrence
         # wins; fixed-width token chunks stand in for newline paragraphs
@@ -802,6 +805,26 @@ def oracle_sql() -> dict[str, str]:
                            '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS redacted_md5
             FROM documents
+        """,
+        # NFC via utf8proc ≡ python unicodedata on the planted vectors
+        # (ASCII corpus is NFC-identity); regex classes are explicit
+        # ranges so RE2 ≡ python re; trim/strip are space-only
+        "text_normalize": """
+            WITH src AS (
+                SELECT doc_id, COALESCE(text, '') AS t FROM documents
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       'Cafe' || chr(101) || chr(769) || chr(7) || chr(9) || chr(9) || ' menu '
+                FROM documents WHERE doc_id < 5),
+            n AS (SELECT doc_id, t,
+                         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                              '[\\x00-\\x08\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                              '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS norm_text
+                  FROM src)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS INTEGER) AS n_chars,
+                   CAST(norm_text <> t AS INTEGER) AS changed
+            FROM n
         """,
         # 60-bit md5 sampling key; thresholds = rate * 2^60 as exact
         # integer literals (en 0.25, de/es/fr/zh 0.75, default 1.0)

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "pipeline_training_prep",
     "text_token_counts",
     "text_pii_redact",
+    "text_normalize",
     "sample_stratified",
     "sample_token_budget",
     "sample_pack_shards",

@@ -107,6 +107,59 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
 
 
+def normalize_text(spark: SparkSession, sf_dir: str, plant: bool = True) -> DataFrame:
+    """C4/CCNet-style text normalization — the first pass of every
+    training-data pipeline: unicode NFC (composes combining marks so
+    the SAME visible text hashes identically in the dedup suite
+    downstream), control characters → space (C0 minus the whitespace
+    ones, plus DEL), whitespace runs collapsed to one space, trimmed.
+    Output carries the normalized text, its length, and a changed flag.
+
+    One Arrow-batched mapInPandas pass, zero shuffle, pruned scan —
+    same shape as repetition_signals (NFC has no JVM built-in; Python's
+    unicodedata is the vectorized-enough path at ~0.1 µs/char).
+    Cross-engine parity: Python unicodedata.normalize('NFC') agrees
+    with DuckDB's utf8proc nfc_normalize on the planted vectors (and
+    trivially on the ASCII corpus); the regex classes are spelled as
+    explicit char ranges so RE2 and Python re agree; trim/strip are
+    space-only on both sides. ``plant=True`` unions rows carrying a
+    combining acute + BEL + tab runs so the result is non-vacuous on
+    the ASCII corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if plant:
+        planted = docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+            # 'e' + combining acute (NFC-composable), BEL, a tab run, a
+            # trailing space — the oracle builds the identical string via
+            # chr(101)||chr(769)||chr(7)||chr(9)||chr(9)
+            F.lit("Cafee\u0301\x07\t\t menu ").alias("text"),
+        )
+        docs = docs.unionByName(planted)
+    schema = "doc_id long, norm_text string, n_chars int, changed int"
+
+    def _batches(batches):
+        import re
+        import unicodedata
+
+        import pandas as pd
+
+        ctrl = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            outs = []
+            for text in pdf["text"].tolist():
+                t = text or ""
+                n = unicodedata.normalize("NFC", t)
+                n = ctrl.sub(" ", n)
+                n = ws.sub(" ", n).strip(" ")
+                outs.append((n, len(n), int(n != t)))
+            out = pd.DataFrame(outs, columns=["norm_text", "n_chars", "changed"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return docs.mapInPandas(_batches, schema)
+
+
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: most-common-word count and
     duplicate word-2-gram count per document (high top-word or dup-gram

@@ -457,6 +457,33 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
 
 # ------------------------------------------- training-mix construction
 
+def test_normalize_text_planted(spark, tmp_path):
+    """NFC composition, control-char strip, whitespace collapse, trim —
+    and idempotence (normalizing the output changes nothing)."""
+    from goskyr_spark.ops.textstats import normalize_text
+
+    messy = "Cafe\u0301\x07ok\x00\r\n  twice\tdone  "
+    clean = "already clean"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(0, messy, "en", "s", 0), (1, clean, "en", "s", 0), (2, None, "en", "s", 0)], schema
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+
+    got = {r.doc_id: r for r in normalize_text(spark, p, plant=False).collect()}
+    assert got[0].norm_text == "Café ok twice done"
+    assert (got[0].n_chars, got[0].changed) == (len("Café ok twice done"), 1)
+    assert (got[1].norm_text, got[1].changed) == (clean, 0)
+    assert (got[2].norm_text, got[2].n_chars, got[2].changed) == ("", 0, 0)
+
+    # idempotence: run the op over its own output
+    spark.createDataFrame(
+        [(i, r.norm_text, "en", "s", 0) for i, r in got.items()], schema
+    ).write.mode("overwrite").parquet(p + "/documents.parquet")
+    again = {r.doc_id: r for r in normalize_text(spark, p, plant=False).collect()}
+    assert all(r.changed == 0 for r in again.values())
+
+
 def test_pii_redact_planted(spark, tmp_path):
     """Planted PII (the sf tables carry none): counts per category and
     byte-exact redacted text via its md5."""

@@ -265,6 +265,21 @@ def test_repetition_signals_zero_shuffle(spark):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_normalize_text_zero_shuffle(spark):
+    """The NFC/control/whitespace pass is one Arrow stage over a pruned
+    scan — no Exchange anywhere (the planted union is a second scan
+    branch, also shuffle-free)."""
+    import re
+
+    from goskyr_spark.ops.textstats import normalize_text
+
+    plan = plan_of(normalize_text(spark, SF))
+    assert "Exchange" not in plan, plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """The benchmark gram set (the small side, by construction) must be
     broadcast so the training scan is never shuffled on gram keys."""
