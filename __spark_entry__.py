@@ -160,33 +160,48 @@ def _crawl_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkrank.pagerank(edges)
 
 
-def _crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two checkpointed crawl rounds on a deterministic synthetic corpus:
-    returns the visit log (url, round, host, politeness rank)."""
+_ENTRY_TMPDIRS: list[str] = []
+
+
+def _entry_tmpdir(prefix: str) -> str:
+    """Temp warehouse that outlives the queries() call (the driver
+    evaluates the returned DataFrame lazily, AFTER the function returns)
+    — cleaned at interpreter exit instead of in a ``finally``, so the
+    returned DataFrame is the engine's real plan over the checkpoint
+    parquet, not a driver-side collected copy."""
+    import atexit
     import shutil
     import tempfile
 
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _ENTRY_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _ENTRY_TMPDIRS]
+        )
+    _ENTRY_TMPDIRS.append(d)
+    return d
+
+
+def _crawl_visit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three checkpointed crawl rounds on a deterministic synthetic
+    corpus: returns the visit log (url, round, host, politeness rank) —
+    the engine's own lazy plan over the checkpointed selected tables."""
     from goskyr_spark.crawl.bloom import BloomSpec
     from goskyr_spark.crawl.rounds import CrawlRun
     from goskyr_spark.spark.corpus import CorpusSpec, generate_pages, generate_robots
 
     spec = CorpusSpec(n_hosts=4, list_pages_per_host=2, items_per_page=4, mega_factor=2, seed=9)
     pages = generate_pages(spark, spec)
-    wh = tempfile.mkdtemp(prefix="entry_crawl_")
-    try:
-        run = CrawlRun(
-            spark, wh, pages, spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link"),
-            robots=generate_robots(spark, spec),
-            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
-            default_budget=16, n_salts=4, follow_links=True,
-        )
-        run.init(spec.seed_urls())
-        run.run(max_rounds=3)
-        out = run.visit_log().orderBy("round_id", "host", "visit_rank")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    wh = _entry_tmpdir("entry_crawl_")
+    run = CrawlRun(
+        spark, wh, pages, spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link"),
+        robots=generate_robots(spark, spec),
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=16, n_salts=4, follow_links=True,
+    )
+    run.init(spec.seed_urls())
+    run.run(max_rounds=3)
+    return run.visit_log().orderBy("round_id", "host", "visit_rank")
 
 
 def _generate_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,6 +421,46 @@ def _crawl_visit_log_oracle() -> str:
         SELECT url, CAST(1 AS INTEGER) AS round_id, host, visit_rank FROM sel1
         UNION ALL
         SELECT url, CAST(2 AS INTEGER) AS round_id, host, visit_rank FROM sel2
+    """
+
+
+def _generate_configs_oracle() -> str:
+    """Expected-set oracle for _generate_configs: the demo corpus is a
+    pure function of CorpusSpec(seed=9), so the expected
+    (url, config_id, n_records) rows are computed here by running the
+    SEQUENTIAL pure-Python generation engine (no Spark) over the same
+    pure-Python page HTML, then embedded as a VALUES table. What this
+    gates is the distributed fan-out itself — that the Arrow
+    mapInPandas job (generate/spark_jobs.py) partitions, decodes and
+    emits exactly what the sequential engine produces per page. The
+    sequential engine's own semantics are separately gated against the
+    reference by the 20-case byte-identical YAML goldens
+    (tests/test_generate_golden.py)."""
+    from goskyr_spark.extract.record import PageDoc, strip_http_header
+    from goskyr_spark.generate.configs import (
+        GenOptions, configurations_for_gq_document)
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(n_hosts=3, list_pages_per_host=1, items_per_page=8,
+                      mega_factor=1, seed=9)
+    rows: list[tuple[str, str, int]] = []
+    for h in range(spec.n_hosts):
+        url = f"{spec.host_base(h)}/list/0"
+        doc = PageDoc(url, strip_http_header(spec.list_html(h, 0)))
+        opts = GenOptions(url=url, min_occs=(5,), min_records=0,
+                          render_js=False).init()
+        for c in configurations_for_gq_document(doc, opts).values():
+            rows.append((url, str(c.id), len(getattr(c, "records", []) or [])))
+    vals = ",\n            ".join(
+        "('{}', '{}', {})".format(u.replace("'", "''"),
+                                  cid.replace("'", "''"), n)
+        for u, cid, n in rows
+    )
+    return f"""
+        WITH expected(url, config_id, n_records) AS (VALUES
+            {vals})
+        SELECT url, config_id, CAST(n_records AS INTEGER) AS n_records
+        FROM expected
     """
 
 
@@ -1163,7 +1218,8 @@ def oracle_sql() -> dict[str, str]:
         # priority-classed frontier expansion) unrolled as SQL over the
         # corpus's deterministic link graph — see _crawl_visit_log_oracle
         "crawl_visit_log": _crawl_visit_log_oracle(),
-        # no oracle (non-SQL-expressible; gated by tests/):
-        #   generate_configs  — byte-identical YAML goldens,
-        #                       tests/test_generate_golden.py
+        # distributed generation fan-out vs the sequential pure-Python
+        # engine's expected set (engine semantics themselves are gated by
+        # the byte-identical YAML goldens) — see _generate_configs_oracle
+        "generate_configs": _generate_configs_oracle(),
     }

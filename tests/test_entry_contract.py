@@ -10,7 +10,7 @@ import __spark_entry__ as entrymod
 
 # non-SQL-expressible queries, each with a stronger non-oracle gate
 # (generation semantics are golden-fixture byte parity — SURVEY §5)
-ALLOWED_NO_ORACLE = {"generate_configs"}
+ALLOWED_NO_ORACLE: set[str] = set()
 
 
 def test_every_oracle_has_a_query():
