@@ -79,7 +79,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entrymod
     from goskyr_spark.ops.dedup import (
         embedding_tables, minhash_band_index, shingle_table,
-        simhash_fingerprints)
+        simhash_fingerprints, verified_pairs_table)
 
     qs = entrymod.queries()
     # session warmup (JVM/codegen/python-worker startup) so the first
@@ -96,6 +96,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     shingle_table(spark, SF_DIR).count()
     simhash_fingerprints(spark, SF_DIR).count()
     minhash_band_index(spark, SF_DIR).count()
+    verified_pairs_table(spark, SF_DIR).count()
     for t in embedding_tables(spark, SF_DIR):
         t.count()
     out["dedup_intermediates_build"] = round(time.time() - t0, 3)

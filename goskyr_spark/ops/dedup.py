@@ -939,6 +939,21 @@ def incremental_dedup(
 
 # -------------------------------------------------- cluster formation
 
+def verified_pairs_table(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """The VERIFIED near-dup pair set (doc_a, doc_b, jaccard) as a
+    write-once corpus-adjacent table — same _materialized design as the
+    shingle/band/fingerprint tables: at 100 TB, pair verification runs
+    once when a corpus snapshot lands, and every downstream consumer
+    (cluster formation, survivor selection, audit joins) reads the
+    artifact instead of re-running the banding + exact-verify joins."""
+    key = ("verified_pairs", _corpus_token(sf_dir, "documents.parquet"), threshold)
+    return _materialized(
+        spark, key, lambda: minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
@@ -978,13 +993,54 @@ def connected_components(
         ).collect()[0]  # 1-row control read, not data movement
         return (row.n, row.s, row.x)
 
+    # eager=False fuses materialization with the sig() aggregate: the
+    # 1-row control read is the action that computes, persists and
+    # lineage-cuts the edge set — ONE Spark job per round instead of a
+    # checkpoint job followed by a signature job.
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = sig(e)
+    spark = edges.sparkSession
+    conf = spark.conf
+    shuffle_before = conf.get("spark.sql.shuffle.partitions")
+    if prev_sig[0] < 100_000:
+        # plan-time-only shrink for small edge sets (same convention as
+        # crawl/rounds.py small rounds): each contraction round is ~6
+        # shuffles, and 32 partitions × 6 stages of scheduling overhead
+        # dwarfs the data at fixture scale; restored below. At 100 TB
+        # the branch never fires.
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, prev_sig[0] // 2000)),
+        )
+    converged = False
+    try:
+        e, converged = _contract_to_fixpoint(e, sig, prev_sig, max_iter)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", shuffle_before)
+    if not converged:
+        # exiting mid-contraction would silently emit conflicting
+        # component labels (e is not yet a star forest) — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of longest chain)"
+        )
+    # e is a star forest (child -> component root); roots map to selves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def _contract_to_fixpoint(e, sig, prev_sig, max_iter):
+    """One alternating large-star/small-star round per loop pass; ONE
+    Spark job per pass (the sig aggregate materializes + lineage-cuts
+    the non-eager localCheckpoint). Returns (star_forest, converged)."""
     converged = False
     for _ in range(max_iter):
         # LARGE-STAR: for every node u, connect each strictly-larger
@@ -1011,9 +1067,9 @@ def connected_components(
         new_e = (
             children.union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sig = sig(new_e)
+        new_sig = sig(new_e)  # the action that materializes + cuts new_e
         # free the superseded checkpoint immediately (new_e is already
         # materialized with cut lineage) — otherwise up to max_iter edge
         # copies stay pinned until the ContextCleaner happens to run
@@ -1023,19 +1079,7 @@ def connected_components(
             converged = True
             break
         prev_sig = new_sig
-    if not converged:
-        # exiting mid-contraction would silently emit conflicting
-        # component labels (e is not yet a star forest) — refuse
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (rounds needed ~ log2 of longest chain)"
-        )
-    # e is a star forest (child -> component root); roots map to selves
-    return (
-        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
-        .distinct()
-    )
+    return e, converged
 
 
 def dedup_clusters(
@@ -1052,7 +1096,7 @@ def dedup_clusters(
     pair; keep marks the survivor. Oracle: DuckDB recursive CTE over
     the identical exact-Jaccard pair set.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+    pairs = verified_pairs_table(spark, sf_dir, threshold=threshold)
     cc = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

@@ -44,17 +44,35 @@ def pagerank(
     edges: DataFrame,
     iters: int = ITERS,
     damping: float = DAMPING,
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """edges(src, dst) → (url, link_rank). Duplicate edges collapse
     (a page linking twice votes once — matches the distinct anchor
-    semantics of the frontier's own dedup)."""
-    e = edges.select("src", "dst").distinct()
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    semantics of the frontier's own dedup).
+
+    The loop invariants (edge set, out-degrees, node set) are
+    materialized ONCE with cut lineage: every iteration references all
+    three, so without the cut the plan re-derives the edge table —
+    including whatever produced it (here the full corpus parse) — once
+    per reference per iteration. ``checkpoint_every=4`` bounds the rank
+    chain itself: the dangling-mass scalar of iteration i embeds the
+    full rank subtree of iteration i, so an uncut 20-30 iteration run
+    (the production setting) grows the plan superlinearly — same trap
+    documented at ops/dedup.connected_components."""
+    # e eager (cuts whatever produced the edges — the corpus parse —
+    # right away); deg/nodes non-eager: they materialize inside the
+    # first job that needs them and are block-reused from then on, so
+    # no extra upfront jobs are scheduled.
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    deg = (
+        e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("url"))
         .unionByName(e.select(F.col("dst").alias("url")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
