@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        # production IVF: Lloyd-trained coarse centroids (3 distributed
+        # k-means iterations; per-iteration means rounded to 6 dp — the
+        # documented cross-engine determinism hook that lets the DuckDB
+        # oracle unroll the identical training)
+        "ann_ivf_trained_topk": similarity.ivf_trained_topk,
         # text analysis
         "text_token_counts": textstats.token_counts,
         "text_quality_signals": textstats.quality_signals,
@@ -295,6 +300,67 @@ def _ann_lsh_oracle(n_planes: int = 4, multiprobe_hamming: int = 1, k: int = 10)
             FROM n, q
             WHERE bit_count(CAST(xor(n.bucket, q.qb) AS BIGINT)) <= {multiprobe_hamming}
               AND n.vec_id <> 0)
+        WHERE rank <= {k}
+    """
+
+
+def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
+                        k: int = 10, query_id: int = 0,
+                        round_digits: int = 6) -> str:
+    """SQL replica of similarity.ivf_trained_topk: the ``n_iter``
+    distributed Lloyd iterations are unrolled as CTEs — assignment is
+    the same first-wins cosine argmax (ROW_NUMBER sim DESC, cell ASC ≡
+    Spark's array_position-of-array_max), the centroid update is the
+    same per-(cell, dim) mean ROUNDED to ``round_digits`` (the
+    cross-engine determinism hook documented in train_ivf_centroids:
+    rounding granularity 1e-6 absorbs the ~1e-13 summation-order drift
+    of distributed averages, so both engines iterate over bit-identical
+    centroids), empty cells keep their previous centroid (COALESCE).
+    Probe selection and final ranking replicate ivf_topk's oracle."""
+    ctes = []
+    for i in range(n_iter + 1):  # final assignment a{n_iter} uses c{n_iter}
+        ctes.append(f"""
+        s{i} AS (SELECT n.vec_id, c.cell,
+                        list_dot_product(n.v, c.cv)
+                          / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+                 FROM n CROSS JOIN c{i} c),
+        a{i} AS (SELECT vec_id, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                     FROM s{i}) WHERE rn = 1)""")
+        if i < n_iter:
+            ctes.append(f"""
+        m{i} AS (SELECT a.cell, u.i AS dim,
+                        ROUND(AVG(n.v[u.i]), {round_digits}) AS m
+                 FROM a{i} a JOIN n ON n.vec_id = a.vec_id,
+                      UNNEST(generate_series(1, len(n.v))) AS u(i)
+                 GROUP BY a.cell, u.i),
+        c{i + 1} AS (SELECT c{i}.cell, COALESCE(l.cv, c{i}.cv) AS cv
+                     FROM c{i} LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv
+                                          FROM m{i} GROUP BY cell) l
+                          USING (cell))""")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < {n_cells}),
+        q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {query_id}),
+        {",".join(ctes)},
+        probe AS (SELECT cell FROM (
+                      SELECT c.cell,
+                             ROW_NUMBER() OVER (ORDER BY
+                                 list_dot_product(q.qv, c.cv)
+                                   / (q.qnrm * sqrt(list_dot_product(c.cv, c.cv)))
+                                   DESC,
+                                 c.cell ASC) AS rn
+                      FROM c{n_iter} c CROSS JOIN q) WHERE rn <= {n_probe})
+        SELECT vec_id, rank FROM (
+            SELECT n.vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                       list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm) DESC,
+                       n.vec_id ASC) AS INTEGER) AS rank
+            FROM n JOIN a{n_iter} a ON a.vec_id = n.vec_id, q
+            WHERE a.cell IN (SELECT cell FROM probe) AND n.vec_id <> {query_id})
         WHERE rank <= {k}
     """
 
@@ -742,6 +808,8 @@ def oracle_sql() -> dict[str, str]:
         # replicates the LSH algorithm itself: identical hyperplane
         # constants as literals, same probe set, same ordering
         "ann_lsh_topk": _ann_lsh_oracle(),
+        # Lloyd iterations unrolled as SQL — see _ivf_trained_oracle
+        "ann_ivf_trained_topk": _ivf_trained_oracle(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "pipeline_training_prep",
     "text_token_counts",
     "text_pii_redact",

@@ -215,7 +215,7 @@ def _with_cell(emb: DataFrame, cent_list: list[list[float]]) -> DataFrame:
 
 
 def train_ivf_centroids(
-    emb: DataFrame, n_cells: int = 8, n_iter: int = 3
+    emb: DataFrame, n_cells: int = 8, n_iter: int = 3, round_digits: int = 6
 ) -> list[list[float]]:
     """Distributed Lloyd k-means for IVF coarse centroids: deterministic
     init (vectors 0..n_cells-1), then ``n_iter`` rounds of
@@ -223,7 +223,17 @@ def train_ivf_centroids(
     per-cell element-wise mean (posexplode → groupBy(cell, dim).avg —
     one shuffle of (cell, dim, value) triples per iteration, fully
     map-side combined). Only the n_cells×dim centroid matrix ever
-    reaches the driver. Empty cells keep their previous centroid."""
+    reaches the driver. Empty cells keep their previous centroid.
+
+    ``round_digits`` rounds each per-iteration mean (F.round — HALF_UP,
+    same as DuckDB's ROUND): distributed partial sums make the raw mean
+    order-dependent in the last ~1e-13, and rounding to a granularity
+    far above the drift makes the whole training deterministic across
+    engines — that is what lets the DuckDB oracle unroll the identical
+    Lloyd iterations (``__spark_entry__._ivf_trained_oracle``). The
+    assignment argmax and everything downstream then consume
+    bit-identical centroid literals. Clustering quality is unaffected
+    (1e-6 is noise relative to centroid spread)."""
     e = with_norm(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
     cents = [
         list(r["embedding"])
@@ -233,10 +243,13 @@ def train_ivf_centroids(
     dim = len(cents[0])
     for _ in range(n_iter):
         assigned = _with_cell(e, cents)
+        m_expr = F.avg("v")
+        if round_digits is not None:
+            m_expr = F.round(m_expr, round_digits)
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cell", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(m_expr.alias("m"))
             .collect()
         )
         new_cents = [list(c) for c in cents]
