@@ -30,8 +30,14 @@ def training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
          ≥ 10 whitespace tokens and ≥ 1 stopword hit;
       4. output integer token/char/stopword accounting per survivor.
     """
-    docs = _docs_planted(spark, sf_dir)
+    return training_prep_docs(_docs_planted(spark, sf_dir))
 
+
+def training_prep_docs(docs: DataFrame) -> DataFrame:
+    """The same pipeline over ANY (doc_id, text) DataFrame — e.g. the
+    crawl engine's extracted record text (see
+    tests/test_integration_pipeline.py: fixtures → crawl → extract →
+    training prep as one composed flow)."""
     w = Window.partitionBy(F.md5("text"))
     canon = (
         docs.withColumn("keep_id", F.min("doc_id").over(w))
