@@ -22,7 +22,13 @@ _EXCESS_NL = re.compile(r"\n{4,}")
 _WS = re.compile(r"\s+")
 
 _BLOCK = {"p", "div", "section", "article", "header", "footer", "aside", "main",
-          "table", "tr", "blockquote", "pre"}
+          "blockquote", "pre",
+          # table internals WITHOUT a table plugin render as block text:
+          # the Go library (html-to-markdown/v2, turndown-derived block
+          # semantics) treats table/tr/td/th as block nodes, so each
+          # CELL's content becomes its own blank-line-separated block —
+          # closure of divergence #2, see tests/test_markdown.py
+          "table", "thead", "tbody", "tfoot", "caption", "tr", "td", "th"}
 _HEADINGS = {f"h{i}": i for i in range(1, 7)}
 
 _LINE_START_HASH = re.compile(r"^(\s*)(#{1,6})(?=\s|$)")

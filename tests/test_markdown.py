@@ -52,11 +52,17 @@ def test_lists_and_nbsp_and_blockquote():
 # #5 (link title attributes render as [text](href "title")), and
 # #1 (markdown-character escaping of literal \ ` [ ] * _ and line-start
 # # > - + N. in text nodes, flanking-aware per CommonMark — see
-# markdown._escape_markdown; code/pre spans verbatim). Remaining:
-#   2. <table> cell spacing: both render tables as block text (the
-#      reference calls htmltomarkdown.ConvertString, which registers
-#      only the base+commonmark plugins — no table plugin), but the
-#      exact inter-cell separators are not reproduced
+# markdown._escape_markdown; code/pre spans verbatim). Round 4 closed
+# the final item, #2 (<table> cell spacing): the reference calls
+# htmltomarkdown.ConvertString with only the base+commonmark plugins —
+# no table plugin — so table internals fall through to the library's
+# turndown-derived block-node handling (table/tr/td/th are block
+# nodes), i.e. each CELL renders as its own blank-line-separated text
+# block; markdown._BLOCK now mirrors that (test_table_cells_as_blocks).
+# The enumerated divergence list is EMPTY. Caveat unchanged: the Go
+# library itself cannot be executed in this sandbox, so every closure
+# is derived from its documented CommonMark/turndown semantics, and no
+# reference fixture or golden config can observe the difference.
 RICH_FIXTURE = """
 <div class="event-page">
 \t<h1 class="event-title">Weekend Retreat</h1>
@@ -254,3 +260,18 @@ def test_markdown_character_escaping():
     assert html_to_markdown('<p><a href="/x"># 1 pick</a></p>') == "[# 1 pick](/x)"
     # converter-generated syntax is not double-escaped
     assert html_to_markdown("<p><strong>x*y</strong></p>") == "**x\\*y**"
+
+
+def test_table_cells_as_blocks():
+    """Divergence #2 closure: without a table plugin the Go library's
+    turndown-derived block handling renders every table cell as its own
+    text block — after the post-processing pipeline (newline doubling,
+    cap at three) cells/rows separate with \\n\\n\\n."""
+    md = html_to_markdown(
+        "<table><tr><th>Name</th><th>Age</th></tr>"
+        "<tr><td>Ann</td><td>7</td></tr></table>"
+    )
+    assert md == "Name\n\n\nAge\n\n\nAnn\n\n\n7"
+    # inline markup inside a cell still converts
+    md2 = html_to_markdown("<table><tr><td><strong>B</strong> x</td></tr></table>")
+    assert md2 == "**B** x"
