@@ -773,10 +773,32 @@ def semantic_dedup(
     embedding_tables does for embedding_cosine_dups) so the result is
     non-vacuous: the corpus has no natural cos ≥ 0.97 pair (measured
     max 0.513), so exactly the 25 planted copies drop, keeper = the
-    original. Returns dropped rows (vec_id, keeper, cell)."""
+    original. Returns dropped rows (vec_id, keeper, cell).
+
+    Keeper semantics under NON-TRANSITIVE chains (cos(a,b) ≥ t,
+    cos(b,c) ≥ t, cos(a,c) < t): a row is dropped when ANY lower-id
+    same-cell near-dup exists, and ``keeper`` = the MIN such id — so c
+    drops with keeper=b even though b itself drops (keeper=a). This is
+    SemDeDup's own one-shot policy (every non-representative member of
+    a similarity group is removed in a single pass, never re-checked
+    against survivors only), deliberately NOT greedy survivor-only
+    dedup: ``keeper`` names the nearest-lower witness that justified
+    the drop, not necessarily a surviving row. Survivor set = all
+    vec_ids absent from the result; resolve keeper chains to surviving
+    canonicals with connected_components over (vec_id, keeper) when a
+    canonical mapping is needed (pinned in
+    tests/test_ops.py::test_semantic_dedup_non_transitive_chain)."""
+    e, _ = embedding_tables(spark, sf_dir, plant=plant, with_banded=False)
+    return semantic_dedup_df(e, n_cells=n_cells, threshold=threshold)
+
+
+def semantic_dedup_df(
+    e: DataFrame, n_cells: int = 8, threshold: float = 0.97
+) -> DataFrame:
+    """semantic_dedup over any (vec_id, embedding, norm) DataFrame —
+    the keeper-semantics unit tests inject controlled geometries here."""
     from .similarity import _with_cell, dot
 
-    e, _ = embedding_tables(spark, sf_dir, plant=plant, with_banded=False)
     # n_cells × dim floats to the driver — the documented IVF exception
     # to the no-collect rule (VERDICT r2 plan audit).
     cents = [

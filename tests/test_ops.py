@@ -1201,3 +1201,45 @@ def test_paragraph_dedup_randomized_vs_python(spark, tmp_path):
     assert got == expected
     # the tiny vocabulary must actually produce cross-doc collisions
     assert any(k < n for n, k, _ in expected.values())
+
+
+def test_semantic_dedup_non_transitive_chain(spark):
+    """Pins the documented keeper semantics (see dedup.semantic_dedup):
+    under a non-transitive chain cos(a,b) >= t, cos(b,c) >= t,
+    cos(a,c) < t, BOTH b and c drop — c's keeper is b even though b is
+    itself dropped (keeper = nearest-lower WITNESS, not a guaranteed
+    survivor). Canonical survivors come from connected_components over
+    the (vec_id, keeper) edges."""
+    import math
+
+    from goskyr_spark.ops.dedup import connected_components, semantic_dedup_df
+    from goskyr_spark.ops.similarity import with_norm
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # 0°,10°,20°: cos10° = 0.9848 >= 0.97, cos20° = 0.9397 < 0.97
+    e = with_norm(
+        spark.createDataFrame(
+            [(0, unit(0)), (1, unit(10)), (2, unit(20))],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    out = {
+        r["vec_id"]: r["keeper"]
+        for r in semantic_dedup_df(e, n_cells=1, threshold=0.97).collect()
+    }
+    assert out == {1: 0, 2: 1}  # keeper of 2 is the dropped row 1
+    # survivor set = ids absent from the result
+    assert {0, 1, 2} - set(out) == {0}
+    # canonical mapping when needed: CC over the witness edges
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(
+                [(k, v) for k, v in out.items()], "src long, dst long"
+            )
+        ).collect()
+    }
+    assert cc == {0: 0, 1: 0, 2: 0}
