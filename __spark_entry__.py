@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goskyr_spark.ops import (
+    classifier,
     decontam,
     dedup,
     events,
@@ -30,6 +31,7 @@ from goskyr_spark.ops import (
     substring,
     textstats,
     trainprep,
+    urls,
 )
 
 
@@ -137,6 +139,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_prep": trainprep.training_prep,
         # multimodal plumbing (oracle-checkable fragment)
         "multimodal_binary_meta": multimodal.documents_as_binary,
+        # URL-level dedup: 6-step codegen canonicalization (case, port,
+        # www, fragment, utm params, trailing slash) → one hash aggregate
+        "url_dedup": urls.url_dedup,
+        # fastText-style linear quality classifier: broadcast vocab
+        # weights + md5 hashing-trick OOV tail, one doc_id aggregate
+        "quality_classifier": classifier.quality_classifier,
+        # readability-style main-content extraction (config-free
+        # boilerplate removal) over the deterministic corpus pages
+        "text_main_content": _main_content,
+        # WARC source: distributed writer → byte-exact Content-Length
+        # walker reader; round-trips the corpus pages
+        "source_warc_read": _warc_read,
         # link-graph PageRank over the parsed corpus anchors (frontier
         # prioritization signal; 3 unrolled power iterations)
         "crawl_link_rank": _crawl_link_rank,
@@ -163,6 +177,87 @@ def _crawl_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = linkrank.corpus_link_edges(spark, spec)
     return linkrank.pagerank(edges)
+
+
+# shared by the query and its sequential-replica oracle
+_MAIN_SPEC = dict(n_hosts=4, list_pages_per_host=2, items_per_page=4,
+                  mega_factor=2, seed=9)
+_WARC_SPEC = dict(n_hosts=3, list_pages_per_host=2, items_per_page=3,
+                  mega_factor=2, seed=9)
+
+
+def _main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-free boilerplate removal over the deterministic corpus:
+    list pages keep <main class=listing> (nav/sidebar are link-dense),
+    item pages keep <article class=detail>."""
+    from goskyr_spark.ops.maincontent import extract_main_content
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+
+    return extract_main_content(generate_pages(spark, CorpusSpec(**_MAIN_SPEC)))
+
+
+def _main_content_oracle() -> str:
+    """Expected rows = ops.maincontent.main_block (the same pure scorer
+    the Arrow pass runs) applied sequentially to every corpus page —
+    gates the distributed fan-out, same move as _generate_configs_oracle.
+    Doubles ride as repr-quoted literals CAST to DOUBLE (the linkrank
+    convention) so both engines hash bit-identical values."""
+    from goskyr_spark.ops.maincontent import main_block
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(**_MAIN_SPEC)
+    rows = []
+    for i in range(spec.total_pages):
+        url, _ts, html, _text, _lang = spec.page_for_ordinal(i)
+        tag, n, ld, h = main_block(html.decode("utf-8"))
+        rows.append(f"('{url}', '{tag}', {n}, '{ld!r}', '{h}')")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH expected(url, tag, n_chars, link_density, text_md5) AS (VALUES
+            {vals})
+        SELECT url, tag, CAST(n_chars AS INTEGER) AS n_chars,
+               CAST(link_density AS DOUBLE) AS link_density, text_md5
+        FROM expected
+    """
+
+
+def _warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC write → read round-trip; compares on byte count
+    + payload digest (the full bytes/timestamp equality vs
+    generate_pages is pytest-gated in tests/test_warc.py)."""
+    from goskyr_spark.spark.corpus import CorpusSpec
+    from goskyr_spark.spark.warc import generate_warc_files, read_warc
+
+    recs = read_warc(
+        generate_warc_files(spark, CorpusSpec(**_WARC_SPEC), pages_per_file=7)
+    )
+    return recs.select(
+        "url",
+        F.length("html").cast("int").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
+def _warc_read_oracle() -> str:
+    """Expected rows enumerated by the same pure page function the
+    distributed writer serializes — if the reader mis-walks a
+    Content-Length or strips the HTTP head wrong, bytes/digest differ."""
+    import hashlib
+
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(**_WARC_SPEC)
+    rows = []
+    for i in range(spec.total_pages):
+        url, _ts, html, _text, _lang = spec.page_for_ordinal(i)
+        rows.append(f"('{url}', {len(html)}, '{hashlib.md5(html).hexdigest()}')")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH expected(url, n_bytes, html_md5) AS (VALUES
+            {vals})
+        SELECT url, CAST(n_bytes AS INTEGER) AS n_bytes, html_md5
+        FROM expected
+    """
 
 
 _ENTRY_TMPDIRS: list[str] = []
@@ -1290,4 +1385,15 @@ def oracle_sql() -> dict[str, str]:
         # engine's expected set (engine semantics themselves are gated by
         # the byte-identical YAML goldens) — see _generate_configs_oracle
         "generate_configs": _generate_configs_oracle(),
+        # URL canonicalization: identical variant arithmetic + identical
+        # RE2/Java-parity regex chain — see ops/urls.py
+        "url_dedup": urls.url_dedup_oracle_sql(),
+        # linear classifier: vocab as VALUES, same md5 hashing-trick OOV
+        # weights — see ops/classifier.py
+        "quality_classifier": classifier.quality_classifier_oracle_sql(),
+        # sequential replica of the pure block scorer — see
+        # _main_content_oracle
+        "text_main_content": _main_content_oracle(),
+        # pure-enumeration expected set — see _warc_read_oracle
+        "source_warc_read": _warc_read_oracle(),
     }

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "text_doc_fingerprint",
     "text_repetition_signals",
     "text_paragraph_dedup",
+    "url_dedup",
+    "quality_classifier",
     "crawl_link_rank",
 ]
 

@@ -1,0 +1,188 @@
+"""Gates for the round-4 webtext operators: WARC source round-trip,
+main-content extraction, URL canonicalization, quality classifier.
+(Their cross-engine correctness is oracle-gated via __spark_entry__;
+these tests pin unit semantics and the plan shapes.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from goskyr_spark.ops.classifier import THRESHOLD, VOCAB, quality_classifier
+from goskyr_spark.ops.maincontent import extract_main_content, main_block
+from goskyr_spark.ops.urls import canonicalize, url_dedup, variant_urls
+from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+from goskyr_spark.spark.warc import (
+    generate_warc_files,
+    parse_warc_bytes,
+    read_warc,
+    warc_record,
+)
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+SPEC = CorpusSpec(n_hosts=3, list_pages_per_host=2, items_per_page=3,
+                  mega_factor=2, seed=9)
+
+
+# ---------------------------------------------------------------- WARC
+
+def test_warc_roundtrip_equals_pages_table(spark):
+    """Writer → reader reproduces (url, warc_ts, html) byte-exactly."""
+    got = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(generate_warc_files(spark, SPEC, pages_per_file=5)).collect()
+    }
+    want = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in generate_pages(spark, SPEC).collect()
+    }
+    assert got == want
+
+
+def test_warc_parser_honors_content_length_not_markers():
+    """A payload containing the literal record marker must not split the
+    record — the parser walks Content-Length."""
+    tricky = b"<html>WARC/1.0\r\nWARC-Type: fake</html>"
+    raw = warc_record("https://x.test/a", "2026-01-01T00:00:00Z", tricky) + warc_record(
+        "https://x.test/b", "2026-01-01T00:00:00Z", b"<p>ok</p>"
+    )
+    recs = parse_warc_bytes(raw)
+    assert [(u, h) for u, _d, h in recs] == [
+        ("https://x.test/a", tricky),
+        ("https://x.test/b", b"<p>ok</p>"),
+    ]
+
+
+def test_warc_parser_skips_non_response_and_non_200():
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x.test/a\r\n"
+        b"Content-Length: 18\r\n\r\nGET / HTTP/1.1\r\n\r\n\r\n\r\n"
+    )
+    notfound = warc_record("https://x.test/404", "2026-01-01T00:00:00Z", b"nope").replace(
+        b"HTTP/1.1 200 OK", b"HTTP/1.1 404 NF"
+    )
+    ok = warc_record("https://x.test/ok", "2026-01-01T00:00:00Z", b"<p>y</p>")
+    recs = parse_warc_bytes(req + notfound + ok)
+    assert [u for u, _d, _h in recs] == ["https://x.test/ok"]
+
+
+# -------------------------------------------------------- main content
+
+def test_main_content_drops_nav_on_list_pages(spark):
+    out = extract_main_content(generate_pages(spark, SPEC))
+    rows = {r["url"]: r for r in out.collect()}
+    for url, r in rows.items():
+        if "/list/" in url:
+            # the listing <main> wins over the link-dense nav/sidebar
+            assert r["tag"] == "main", (url, r)
+        else:
+            assert r["tag"] == "article", (url, r)
+    # winner digest matches the pure scorer on a sample page
+    url, _ts, html, _t, _l = SPEC.page_for_ordinal(0)
+    tag, n, ld, h = main_block(html.decode())
+    assert rows[url]["text_md5"] == h and rows[url]["n_chars"] == n
+
+
+def test_main_block_penalizes_link_density():
+    html = (
+        "<html><body>"
+        '<div id="nav">' + "".join(f'<a href="/{i}">section {i} link</a>' for i in range(30)) + "</div>"
+        '<div id="content"><p>' + "prose word " * 40 + '</p><a href="/x">one link</a></div>'
+        "</body></html>"
+    )
+    tag, n, ld, h = main_block(html)
+    assert tag == "div" and ld < 0.2
+    assert hashlib.md5(("prose word " * 40).strip().encode() + b" one link").hexdigest() == h
+
+
+def test_main_block_empty_tie_and_fallback_semantics():
+    assert main_block("<html><body></body></html>") == (
+        "body", 0, 0.0, hashlib.md5(b"").hexdigest())
+    # equal-scoring nested candidates: the FIRST (outermost) wins
+    html = "<body><div><div><p>same text here</p></div></div></body>"
+    tag, n, _ld, _h = main_block(html)
+    assert (tag, n) == ("div", len("same text here"))
+    # no block candidate at all → <body> fallback
+    tag, n, _ld, _h = main_block("<body><p>just a paragraph</p></body>")
+    assert (tag, n) == ("body", len("just a paragraph"))
+
+
+def test_main_content_plan_is_one_arrow_pass(spark):
+    plan = plan_of(extract_main_content(generate_pages(spark, SPEC)))
+    assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------------ url dedup
+
+def test_canonicalize_vectors(spark):
+    cases = [
+        ("HTTPS://WWW.Host1.Example.COM:443/p/3", "https://host1.example.com/p/3"),
+        ("https://host1.example.com/p/3#sec-2", "https://host1.example.com/p/3"),
+        ("https://host1.example.com/p/3/", "https://host1.example.com/p/3"),
+        ("https://host1.example.com/p/3?utm_source=feed&utm_campaign=c1",
+         "https://host1.example.com/p/3"),
+        ("https://host1.example.com/p/3?id=2&utm_medium=email",
+         "https://host1.example.com/p/3?id=2"),
+        ("https://host1.example.com/p/3?utm_a=1&id=2",
+         "https://host1.example.com/p/3?id=2"),
+        ("http://h.example.com:80/", "http://h.example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["canonical_url"] for r in canonicalize(df).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_collapses_variants(spark):
+    out = url_dedup(spark, SF).collect()
+    assert sum(r["n_variants"] for r in out) == spark.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
+    # variants genuinely collapse (the corpus plants ~6 spellings/URL)
+    assert max(r["n_spellings"] for r in out) > 1
+
+
+def test_url_dedup_plan_exchange_budget_codegen(spark):
+    plan = plan_of(url_dedup(spark, SF))
+    # canonical agg = 1 exchange; COUNT(DISTINCT url) legitimately adds
+    # the standard expand/second-agg exchange — budget is exactly 2
+    # ("+- Exchange" counts tree nodes; details repeat the names)
+    assert plan.count("+- Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------------ classifier
+
+def test_quality_classifier_signal_dominates_hash_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, "join filter vector merge scan column query"),
+         (2, "slow slow small big the a value slow")],
+        "doc_id long, text string",
+    )
+    import goskyr_spark.ops.classifier as c
+
+    vocab = spark.createDataFrame(list(VOCAB), schema="tok string, w double")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.regexp_extract_all(F.lower("text"), F.lit(c.TOKEN_RE), F.lit(0))
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok").isNotNull())
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.coalesce(F.col("w"), F.lit(0.0))), 6).alias("score"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["score"] for r in scored}
+    assert by_id[1] > THRESHOLD > by_id[2]
+
+
+def test_quality_classifier_plan_broadcasts_vocab(spark):
+    plan = plan_of(quality_classifier(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # tokens never shuffle by value: the only exchange keys on doc_id
+    assert plan.count("+- Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
