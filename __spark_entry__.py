@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-graph PageRank over the parsed corpus anchors (frontier
         # prioritization signal; 3 unrolled power iterations)
         "crawl_link_rank": _crawl_link_rank,
+        # anchor-text rollup per target URL (in-link counts + dominant
+        # anchor) — anchors parsed from the real corpus HTML
+        "crawl_anchor_text": _anchor_text,
+        # sitemap-index → urlset expansion as a distributed join
+        "crawl_sitemap_frontier": _sitemap_frontier,
         # crawl engine + auto-config generation demos (non-SQL-expressible;
         # rows-only check here, full gates in tests/)
         "crawl_visit_log": _crawl_visit_log,
@@ -236,6 +241,78 @@ def _warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").cast("int").alias("n_bytes"),
         F.md5("html").alias("html_md5"),
     )
+
+
+def _anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over anchors parsed from the corpus HTML."""
+    from goskyr_spark.ops.anchortext import anchor_text_agg, page_anchors
+    from goskyr_spark.spark.corpus import CorpusSpec, generate_pages
+
+    return anchor_text_agg(page_anchors(generate_pages(spark, CorpusSpec(**_MAIN_SPEC))))
+
+
+def _anchor_text_oracle() -> str:
+    """(src, dst, text) enumerated by the pure corpus arithmetic
+    (lockstep with corpus.list_html gated by
+    tests/test_webtext.py::test_corpus_anchor_rows_match_parse), then the
+    identical agg: count per (dst, text), window per dst, tie-break
+    (count DESC, text ASC)."""
+    from goskyr_spark.ops.anchortext import corpus_anchor_rows
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    rows = corpus_anchor_rows(CorpusSpec(**_MAIN_SPEC))
+    vals = ",\n            ".join(
+        "('{}', '{}', '{}')".format(s.replace("'", "''"), d.replace("'", "''"),
+                                    t.replace("'", "''"))
+        for s, d, t in rows
+    )
+    return f"""
+        WITH a(src, dst, text) AS (VALUES
+            {vals}),
+        g AS (SELECT dst, text, COUNT(*) AS cnt FROM a GROUP BY dst, text),
+        r AS (SELECT dst, text, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY dst
+                         ORDER BY cnt DESC, text ASC) AS rn,
+                     SUM(cnt) OVER (PARTITION BY dst) AS n_inlinks,
+                     CAST(COUNT(*) OVER (PARTITION BY dst) AS INTEGER)
+                         AS n_anchor_forms
+              FROM g)
+        SELECT dst AS url, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+               n_anchor_forms, text AS top_anchor, cnt AS top_anchor_count
+        FROM r WHERE rn = 1
+    """
+
+
+def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap expansion (index → urlsets) as a join."""
+    from goskyr_spark.crawl.sitemaps import generate_sitemaps, sitemap_frontier
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    return sitemap_frontier(generate_sitemaps(spark, CorpusSpec(**_MAIN_SPEC)))
+
+
+def _sitemap_frontier_oracle() -> str:
+    """Expected (url, lastmod, host) = the pure sitemap functions applied
+    sequentially — list pages carry a lastmod, item pages don't."""
+    from goskyr_spark.crawl.sitemaps import _lastmod
+    from goskyr_spark.extract.urlutil import host_of
+    from goskyr_spark.spark.corpus import CorpusSpec
+
+    spec = CorpusSpec(**_MAIN_SPEC)
+    rows = []
+    for h in range(spec.n_hosts):
+        base = spec.host_base(h)
+        host = host_of(base)
+        for p in range(spec.list_pages_of(h)):
+            rows.append(f"('{base}/list/{p}', '{_lastmod(spec, h, p)}', '{host}')")
+            for i in range(spec.items_per_page):
+                rows.append(f"('{base}/item/{p}-{i}', '', '{host}')")
+    vals = ",\n            ".join(rows)
+    return f"""
+        WITH expected(url, lastmod, host) AS (VALUES
+            {vals})
+        SELECT url, lastmod, host FROM expected
+    """
 
 
 def _warc_read_oracle() -> str:
@@ -1396,4 +1473,10 @@ def oracle_sql() -> dict[str, str]:
         "text_main_content": _main_content_oracle(),
         # pure-enumeration expected set — see _warc_read_oracle
         "source_warc_read": _warc_read_oracle(),
+        # lockstep anchor enumeration + identical window agg — see
+        # _anchor_text_oracle
+        "crawl_anchor_text": _anchor_text_oracle(),
+        # sequential replica of the pure sitemap functions — see
+        # _sitemap_frontier_oracle
+        "crawl_sitemap_frontier": _sitemap_frontier_oracle(),
     }

@@ -153,6 +153,73 @@ def test_url_dedup_plan_exchange_budget_codegen(spark):
     assert "HashAggregate" in plan
 
 
+# ----------------------------------------------------- anchors & sitemaps
+
+def test_corpus_anchor_rows_match_parse(spark):
+    """The oracle's pure (src, dst, text) enumeration must equal what the
+    real HTML parse emits — the lockstep gate (cf.
+    test_corpus_link_edges_match_enumeration for the edge set)."""
+    from goskyr_spark.ops.anchortext import corpus_anchor_rows, page_anchors
+
+    parsed = sorted(
+        (r["src"], r["dst"], r["text"])
+        for r in page_anchors(generate_pages(spark, SPEC)).collect()
+    )
+    assert parsed == sorted(corpus_anchor_rows(SPEC))
+
+
+def test_anchor_text_agg_semantics(spark):
+    from goskyr_spark.ops.anchortext import anchor_text_agg
+
+    a = spark.createDataFrame(
+        [("s1", "d1", "buy now"), ("s2", "d1", "docs"), ("s3", "d1", "docs"),
+         ("s1", "d2", "home")],
+        "src string, dst string, text string",
+    )
+    rows = {r["url"]: r for r in anchor_text_agg(a).collect()}
+    assert rows["d1"]["n_inlinks"] == 3 and rows["d1"]["n_anchor_forms"] == 2
+    assert rows["d1"]["top_anchor"] == "docs" and rows["d1"]["top_anchor_count"] == 2
+    # tie on count → lexicographic
+    b = spark.createDataFrame(
+        [("s1", "d", "zzz"), ("s2", "d", "aaa")], "src string, dst string, text string"
+    )
+    assert anchor_text_agg(b).collect()[0]["top_anchor"] == "aaa"
+
+
+def test_anchor_agg_plan_two_exchanges(spark):
+    from goskyr_spark.ops.anchortext import anchor_text_agg, page_anchors
+
+    plan = plan_of(anchor_text_agg(page_anchors(generate_pages(spark, SPEC))))
+    # agg keyed (dst,text) + window keyed dst — nothing else shuffles
+    assert plan.count("+- Exchange") == 2, plan
+
+
+def test_parse_sitemap_cdata_and_whitespace():
+    from goskyr_spark.crawl.sitemaps import parse_sitemap
+
+    xml = """<urlset>
+      <url> <loc>
+        <![CDATA[https://h.test/a]]> </loc><lastmod> 2026-01-02 </lastmod></url>
+      <url><loc>https://h.test/b</loc></url>
+      <url><priority>0.5</priority></url>
+    </urlset>"""
+    assert parse_sitemap(xml) == [
+        ("https://h.test/a", "2026-01-02"), ("https://h.test/b", "")
+    ]
+
+
+def test_sitemap_frontier_covers_every_page(spark):
+    from goskyr_spark.crawl.sitemaps import generate_sitemaps, sitemap_frontier
+
+    rows = sitemap_frontier(generate_sitemaps(spark, SPEC)).collect()
+    got = {r["url"] for r in rows}
+    want = {r["url"] for r in generate_pages(spark, SPEC).collect()}
+    assert got == want
+    lastmods = {r["url"]: r["lastmod"] for r in rows}
+    assert all(lm != "" for u, lm in lastmods.items() if "/list/" in u)
+    assert all(lm == "" for u, lm in lastmods.items() if "/item/" in u)
+
+
 # ------------------------------------------------------------ classifier
 
 def test_quality_classifier_signal_dominates_hash_tail(spark):
