@@ -136,7 +136,7 @@ def sitemap_frontier(sitemaps: DataFrame) -> DataFrame:
     child_keys = idx.select(
         "host",
         F.regexp_replace("url", "^[A-Za-z]+://[^/]+", "").alias("path"),
-    )
+    ).dropDuplicates(["host", "path"])  # an index listing a child twice must not double its urlset
     children = sitemaps.join(child_keys, ["host", "path"], "inner")
     out = _parse_pass(children)
     return out.select(F.col("url"), F.col("lastmod"), F.col("host"))

@@ -121,7 +121,16 @@ def parse_warc_bytes(content: bytes) -> list[tuple[str, str, bytes]]:
         for ln in lines[1:]:
             k, _, v = ln.partition(b":")
             headers[k.strip().lower().decode()] = v.strip().decode()
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            # Malformed Content-Length: we can't frame this record, so
+            # resync at the next record marker instead of failing the file.
+            nxt = content.find(b"\r\nWARC/", hdr_end + 4)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
         payload = content[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if headers.get("warc-type") != "response":
@@ -145,7 +154,11 @@ def read_warc(files: DataFrame) -> DataFrame:
             rows = []
             for content in pdf["content"]:
                 for url, date_iso, html in parse_warc_bytes(bytes(content)):
-                    ts = pd.Timestamp(date_iso.replace("Z", "+00:00")).tz_convert(None)
+                    iso = date_iso or "1970-01-01T00:00:00Z"  # missing WARC-Date → epoch
+                    try:
+                        ts = pd.Timestamp(iso.replace("Z", "+00:00")).tz_convert(None)
+                    except (ValueError, TypeError):
+                        continue  # unparseable date: skip the record, not the file
                     rows.append((url, ts, html))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 

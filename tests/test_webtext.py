@@ -55,6 +55,28 @@ def test_warc_parser_honors_content_length_not_markers():
     ]
 
 
+def test_warc_parser_skips_malformed_records():
+    """A record with a non-integer Content-Length is skipped via marker
+    resync; the rest of the file still parses (Common Crawl files do
+    carry occasional damage — one bad record must not kill the batch)."""
+    good_a = warc_record("https://x.test/a", "2026-01-01T00:00:00Z", b"<p>a</p>")
+    bad = good_a.replace(b"https://x.test/a", b"https://x.test/bad").replace(
+        b"Content-Length:", b"Content-Length: NaN\r\nX-Was:", 1
+    )
+    good_b = warc_record("https://x.test/b", "2026-01-01T00:00:00Z", b"<p>b</p>")
+    recs = parse_warc_bytes(good_a + bad + good_b)
+    assert [u for u, _d, _h in recs] == ["https://x.test/a", "https://x.test/b"]
+
+
+def test_read_warc_defaults_missing_date(spark):
+    """An empty WARC-Date must not raise inside the Arrow task — it
+    defaults to epoch."""
+    raw = warc_record("https://x.test/a", "", b"<p>a</p>")
+    df = spark.createDataFrame([(0, bytearray(raw))], "file_id long, content binary")
+    rows = read_warc(df).collect()
+    assert len(rows) == 1 and rows[0]["warc_ts"].year == 1970
+
+
 def test_warc_parser_skips_non_response_and_non_200():
     req = (
         b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x.test/a\r\n"
@@ -128,6 +150,15 @@ def test_canonicalize_vectors(spark):
         ("https://host1.example.com/p/3?utm_a=1&id=2",
          "https://host1.example.com/p/3?id=2"),
         ("http://h.example.com:80/", "http://h.example.com"),
+        # scheme-conditioned default ports: only the scheme's OWN default strips
+        ("https://h.example.com:80/x", "https://h.example.com:80/x"),
+        ("http://h.example.com:443/x", "http://h.example.com:443/x"),
+        # utm embedded in another param's VALUE is not a tracking param
+        ("https://h.example.com/p?next=utm_a=1&b=2",
+         "https://h.example.com/p?next=utm_a=1&b=2"),
+        # consecutive utm params mid-query collapse onto one separator
+        ("https://h.example.com/p?utm_a=1&utm_b=2&id=3",
+         "https://h.example.com/p?id=3"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["canonical_url"] for r in canonicalize(df).collect()]
