@@ -475,20 +475,20 @@ def _ann_lsh_oracle(n_planes: int = 4, multiprobe_hamming: int = 1, k: int = 10)
     """
 
 
-def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
-                        k: int = 10, query_id: int = 0,
-                        round_digits: int = 6) -> str:
-    """SQL replica of similarity.ivf_trained_topk: the ``n_iter``
-    distributed Lloyd iterations are unrolled as CTEs — assignment is
+def _lloyd_chain_ctes(n_cells: int, n_iter: int, round_digits: int = 6) -> str:
+    """The unrolled distributed-Lloyd CTE chain shared by the
+    ann_ivf_trained_topk and dedup_semantic oracles. Expects a CTE
+    ``n(vec_id, v, nrm)`` (raw corpus embeddings) in scope; emits
+    ``c0…c{n_iter}`` (+ per-iteration s{i}/a{i}/m{i}): assignment is
     the same first-wins cosine argmax (ROW_NUMBER sim DESC, cell ASC ≡
     Spark's array_position-of-array_max), the centroid update is the
     same per-(cell, dim) mean ROUNDED to ``round_digits`` (the
     cross-engine determinism hook documented in train_ivf_centroids:
     rounding granularity 1e-6 absorbs the ~1e-13 summation-order drift
     of distributed averages, so both engines iterate over bit-identical
-    centroids), empty cells keep their previous centroid (COALESCE).
-    Probe selection and final ranking replicate ivf_topk's oracle."""
-    ctes = []
+    centroids), empty cells keep their previous centroid (COALESCE)."""
+    ctes = [f"""
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < {n_cells})"""]
     for i in range(n_iter + 1):  # final assignment a{n_iter} uses c{n_iter}
         ctes.append(f"""
         s{i} AS (SELECT n.vec_id, c.cell,
@@ -511,10 +511,19 @@ def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
                      FROM c{i} LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv
                                           FROM m{i} GROUP BY cell) l
                           USING (cell))""")
+    return ",".join(ctes)
+
+
+def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
+                        k: int = 10, query_id: int = 0,
+                        round_digits: int = 6) -> str:
+    """SQL replica of similarity.ivf_trained_topk: Lloyd unrolled via
+    _lloyd_chain_ctes; probe selection and final ranking replicate
+    ivf_topk's oracle."""
+    ctes = [_lloyd_chain_ctes(n_cells, n_iter, round_digits)]
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        c0 AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < {n_cells}),
         q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = {query_id}),
         {",".join(ctes)},
         probe AS (SELECT cell FROM (
@@ -533,6 +542,46 @@ def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
             FROM n JOIN a{n_iter} a ON a.vec_id = n.vec_id, q
             WHERE a.cell IN (SELECT cell FROM probe) AND n.vec_id <> {query_id})
         WHERE rank <= {k}
+    """
+
+
+def _semantic_trained_oracle(n_cells: int = 8, n_iter: int = 3,
+                             threshold: float = 0.97, plant_n: int = 25,
+                             plant_offset: int = 1_000_000) -> str:
+    """SQL replica of dedup.semantic_dedup with TRAINED centroids:
+    Lloyd over the raw corpus (CTE ``n``, shared _lloyd_chain_ctes),
+    then SemDeDup over the planted table ``pn`` — trained-centroid
+    argmax assignment, within-cell pairwise cosine, keep-lowest-id."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        {_lloyd_chain_ctes(n_cells, n_iter)},
+        pe AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + {plant_offset}, CAST(embedding AS DOUBLE[])
+            FROM embeddings WHERE vec_id < {plant_n}),
+        pn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM pe),
+        tc AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+               FROM c{n_iter}),
+        sims AS (SELECT pn.vec_id, tc.cell,
+                        list_dot_product(pn.v, tc.cv) / (pn.nrm * tc.cnrm) AS sim
+                 FROM pn CROSS JOIN tc),
+        assign AS (SELECT vec_id, cell FROM (
+                       SELECT vec_id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+                       FROM sims)
+                   WHERE rn = 1),
+        p AS (SELECT ab.vec_id, aa.vec_id AS keep_cand, ab.cell
+              FROM assign aa
+              JOIN assign ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+              JOIN pn a ON a.vec_id = aa.vec_id
+              JOIN pn b ON b.vec_id = ab.vec_id
+              WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                    >= {threshold})
+        SELECT vec_id, MIN(keep_cand) AS keeper, CAST(cell AS INTEGER) AS cell
+        FROM p GROUP BY vec_id, cell
     """
 
 
@@ -945,37 +994,16 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.99
         """,
-        # SemDeDup oracle replicates the algorithm end-to-end: the same
-        # fixed sample centroids (vec_id < 8), first-wins argmax
-        # assignment (ROW_NUMBER sim DESC, cell ASC ≡ Spark's
-        # array_position-of-array_max), within-cell pairwise cosine
-        # rounded to 4 dp, keep-lowest-id
-        "dedup_semantic": """
-            WITH e AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                UNION ALL
-                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
-                FROM embeddings WHERE vec_id < 25),
-            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-            c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8),
-            sims AS (SELECT n.vec_id, c.cell,
-                            list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS sim
-                     FROM n CROSS JOIN c),
-            assign AS (SELECT vec_id, cell FROM (
-                           SELECT vec_id, cell,
-                                  ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY sim DESC, cell ASC) AS rn
-                           FROM sims)
-                       WHERE rn = 1),
-            p AS (SELECT ab.vec_id, aa.vec_id AS keep_cand, ab.cell
-                  FROM assign aa
-                  JOIN assign ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
-                  JOIN n a ON a.vec_id = aa.vec_id
-                  JOIN n b ON b.vec_id = ab.vec_id
-                  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.97)
-            SELECT vec_id, MIN(keep_cand) AS keeper, CAST(cell AS INTEGER) AS cell
-            FROM p GROUP BY vec_id, cell
-        """,
+        # SemDeDup oracle replicates the algorithm end-to-end: Lloyd-
+        # TRAINED centroids (the same unrolled iterations as the
+        # ann_ivf_trained_topk oracle, trained on the RAW corpus),
+        # first-wins argmax assignment of the PLANTED table (ROW_NUMBER
+        # sim DESC, cell ASC ≡ Spark's array_position-of-array_max),
+        # within-cell pairwise cosine rounded to 4 dp, keep-lowest-id.
+        # The in-cell LSH prefilter (cell_row_budget=4096) provably
+        # doesn't engage at oracle scale (~625 planted vectors total),
+        # so plain within-cell pairwise is the exact expectation.
+        "dedup_semantic": _semantic_trained_oracle(),
         # replicates the LSH algorithm itself: identical hyperplane
         # constants as literals, same probe set, same ordering
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -745,6 +745,8 @@ def semantic_dedup(
     n_cells: int = 8,
     threshold: float = 0.97,
     plant: bool = True,
+    n_iter: int = 3,
+    cell_row_budget: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
     space into ``n_cells`` cells, then deduplicate WITHIN each cell only
@@ -763,11 +765,22 @@ def semantic_dedup(
     assignment is a zero-shuffle projection (array-argmax over
     broadcast centroid literals, similarity._with_cell — NEVER a
     when-chain, see CLAUDE.md), and the only shuffle is the within-cell
-    self-join keyed on cell. Fixed sample centroids (vec_id < n_cells,
-    the ivf_topk convention) keep the DuckDB oracle replicable;
-    production swaps in train_ivf_centroids() Lloyd centroids — the
-    assignment plan is identical — and a banded-LSH prefilter inside
-    any cell that exceeds the pairwise budget.
+    self-join keyed on cell.
+
+    Centroids are Lloyd-TRAINED on the raw corpus embeddings
+    (similarity.train_ivf_centroids, ``n_iter`` distributed k-means
+    iterations; per-iteration means rounded to 6 dp — the determinism
+    hook that lets the DuckDB oracle unroll the identical training, the
+    same trick proven by ann_ivf_trained_topk). ``cell_row_budget`` is
+    the in-cell pairwise guard: a cell whose row count exceeds it is
+    routed — inside the same Catalyst plan, no driver decision —
+    through a banded sign-LSH prefilter (shared band value required
+    before the exact cosine verify) instead of the full |cell|²
+    self-join; under-budget cells keep the exact pairwise. The split is
+    a data-dependent filter on a broadcast per-cell count, so the plan
+    is identical at every scale and the prefilter engages exactly where
+    Σ|cell|² would blow up (pinned by
+    tests/test_ops.py::test_semantic_dedup_oversized_cell_prefilter).
 
     ``plant=True`` unions exact copies of vec_id < PLANT_N (as
     embedding_tables does for embedding_cosine_dups) so the result is
@@ -788,45 +801,122 @@ def semantic_dedup(
     canonicals with connected_components over (vec_id, keeper) when a
     canonical mapping is needed (pinned in
     tests/test_ops.py::test_semantic_dedup_non_transitive_chain)."""
+    from .similarity import _emb, train_ivf_centroids, with_norm
+
     e, _ = embedding_tables(spark, sf_dir, plant=plant, with_banded=False)
-    return semantic_dedup_df(e, n_cells=n_cells, threshold=threshold)
+    # Train on the RAW corpus (the planted copies are verification
+    # scaffolding, not signal) — n_cells × dim floats to the driver, the
+    # documented IVF exception to the no-collect rule.
+    cents = train_ivf_centroids(
+        with_norm(_emb(spark, sf_dir)), n_cells=n_cells, n_iter=n_iter
+    )
+    return semantic_dedup_df(
+        e, n_cells=n_cells, threshold=threshold, cents=cents,
+        cell_row_budget=cell_row_budget,
+    )
 
 
 def semantic_dedup_df(
-    e: DataFrame, n_cells: int = 8, threshold: float = 0.97
+    e: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.97,
+    cents: list[list[float]] | None = None,
+    cell_row_budget: int | None = None,
+    n_planes: int = 48,
+    bands: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
     """semantic_dedup over any (vec_id, embedding, norm) DataFrame —
-    the keeper-semantics unit tests inject controlled geometries here."""
-    from .similarity import _with_cell, dot
+    the keeper-semantics unit tests inject controlled geometries here.
+    ``cents=None`` falls back to the fixed sample centroids
+    (vec_id < n_cells); ``cell_row_budget=None`` disables the oversized-
+    cell LSH prefilter (full within-cell pairwise everywhere)."""
+    from .similarity import _with_cell, dot, hyperplane_band_values_np
 
-    # n_cells × dim floats to the driver — the documented IVF exception
-    # to the no-collect rule (VERDICT r2 plan audit).
-    cents = [
-        list(r["embedding"])
-        for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
-    ]
+    if cents is None:
+        # n_cells × dim floats to the driver — the documented IVF
+        # exception to the no-collect rule (VERDICT r2 plan audit).
+        cents = [
+            list(r["embedding"])
+            for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+        ]
     assigned = _with_cell(e, cents).select("vec_id", "embedding", "norm", "cell")
-    a = assigned.select(
-        F.col("vec_id").alias("keep_cand"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "cell",
-    )
-    b = assigned.select(
-        "vec_id",
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        "cell",
-    )
+    if cell_row_budget is not None:
+        # data-dependent split INSIDE the plan: per-cell counts are
+        # n_cells rows — broadcast them back onto the assignment
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+        assigned = assigned.join(F.broadcast(sizes), "cell")
+        in_budget = assigned.filter(F.col("cell_n") <= cell_row_budget)
+        over_budget = assigned.filter(F.col("cell_n") > cell_row_budget)
+    else:
+        in_budget, over_budget = assigned, None
+
+    def _sides(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return (
+            df.select(
+                F.col("vec_id").alias("keep_cand"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+                "cell",
+            ),
+            df.select(
+                "vec_id",
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+                "cell",
+            ),
+        )
+
     cos = F.round(
         dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")), 4
     )
+    a, b = _sides(in_budget)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("keep_cand") < F.col("vec_id"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
+        .select("vec_id", "keep_cand", "cell")
     )
+    if over_budget is not None:
+        # oversized cells: banded sign-LSH candidates (shared band value
+        # within the cell) → exact cosine verify. Candidate volume is
+        # Σ_bucket |bucket|² per band instead of |cell|²; a cos ≥ 0.97
+        # pair (~14° apart) still shares some 8-bit band with p ≈ 0.99,
+        # and exact copies share every band. Same recall discipline as
+        # embedding_cosine_dups (candidates → exact verify).
+        bsig = over_budget.select(
+            "vec_id", "cell",
+            hyperplane_band_values_np(n_planes=n_planes, bands=bands, dim=dim)(
+                F.col("embedding")
+            ).alias("bv"),
+        )
+        # posexplode_outer + isNotNull, NEVER a bare explode over an
+        # inline-computed array (InferFiltersFromGenerate re-evaluates
+        # the Arrow UDF per pushed conjunct — see CLAUDE.md)
+        long = bsig.select(
+            "vec_id", "cell", F.posexplode_outer("bv").alias("band_idx", "band_val")
+        ).filter(F.col("band_val").isNotNull())
+        cand = (
+            long.alias("x")
+            .join(long.alias("y"), ["cell", "band_idx", "band_val"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                "cell",
+                F.col("x.vec_id").alias("keep_cand"),
+                F.col("y.vec_id").alias("vec_id"),
+            )
+            .distinct()
+        )
+        oa, ob = _sides(over_budget)
+        big_pairs = (
+            cand.join(oa.drop("cell"), "keep_cand")
+            .join(ob.drop("cell"), "vec_id")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_id", "keep_cand", "cell")
+        )
+        pairs = pairs.unionByName(big_pairs)
     return (
         pairs.groupBy("vec_id", "cell")
         .agg(F.min("keep_cand").alias("keeper"))

@@ -1243,3 +1243,54 @@ def test_semantic_dedup_non_transitive_chain(spark):
         ).collect()
     }
     assert cc == {0: 0, 1: 0, 2: 0}
+
+
+def test_semantic_dedup_oversized_cell_prefilter(spark):
+    """Pins the cell_row_budget path (see dedup.semantic_dedup): a cell
+    whose row count exceeds the budget is deduplicated through the
+    banded sign-LSH prefilter (shared band value → exact verify), an
+    under-budget cell through the full pairwise — both inside ONE plan,
+    split by a data-dependent filter on the broadcast per-cell count.
+    Exact copies share every band, so the prefilter path is recall-1 by
+    construction here and the result must equal the unbudgeted run."""
+    import math
+
+    from goskyr_spark.ops.dedup import semantic_dedup_df
+    from goskyr_spark.ops.similarity import with_norm
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        # cell 0: 5 members (> budget 3) — copies of v0 plus one loner
+        (0, unit(0)), (1, unit(0)), (2, unit(0)), (3, unit(0)), (4, unit(40)),
+        # cell 1: 2 members (≤ budget 3) — a 5°-apart NEAR pair (not a
+        # copy): the exact pairwise path must catch it regardless of
+        # banding behavior
+        (10, unit(90)), (11, unit(85)),
+    ]
+    e = with_norm(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    kw = dict(cents=cents, threshold=0.97, dim=2)
+    got = {
+        r["vec_id"]: (r["keeper"], r["cell"])
+        for r in semantic_dedup_df(e, cell_row_budget=3, **kw).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 0), 3: (0, 0), 11: (10, 1)}
+    # budget=1 (every cell through the prefilter) and budget=None (full
+    # pairwise everywhere) agree — candidates→exact-verify equivalence
+    for budget in (1, None):
+        alt = {
+            r["vec_id"]: (r["keeper"], r["cell"])
+            for r in semantic_dedup_df(e, cell_row_budget=budget, **kw).collect()
+        }
+        assert alt == got, budget
+    # the prefilter branch is really in the budgeted plan: banded
+    # candidate generation = an Arrow UDF + a posexplode generator
+    plan = semantic_dedup_df(e, cell_row_budget=3, **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Generate" in plan, plan
+    unbudgeted = semantic_dedup_df(e, cell_row_budget=None, **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in unbudgeted
