@@ -103,7 +103,8 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     for t in embedding_tables(spark, SF_DIR):
         t.count()
     out["dedup_intermediates_build"] = round(time.time() - t0, 3)
-    # Same min-of-2 discipline as the crawl leg (CLAUDE.md: single-shot
+    # Min-of-2 walls per query (the crawl leg goes further: up to 3
+    # repeats with agreement-gated early exit) — CLAUDE.md: single-shot
     # walls vary 10-30% on this box; a long 40-query session adds its
     # own GC/codegen-cache churn — one full-bench pass measured
     # embedding-cosine at 9.3 s where an isolated session sustains
@@ -143,11 +144,14 @@ def bench_crawl(
         cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
         # Single-shot crawl walls vary 10-30% run-to-run on this box
         # (JIT/python-worker warmup dominates the first pass: measured
-        # 117 s cold vs 65 s warm in one JVM). Run twice, report the
-        # MIN — the steady-state number a long-running crawl actually
-        # sustains; both walls go into the JSON.
+        # 117 s cold vs 65 s warm in one JVM), and a co-tenant can eat a
+        # whole repeat (round 4's driver run recorded [65.0, 152.8] s
+        # and under-reported the engine by ~31%). Up to THREE repeats
+        # with an early exit once two walls agree within 10% — the MIN
+        # is the steady-state number a long-running crawl sustains; all
+        # walls go into the JSON so the headline self-describes.
         walls = []
-        for i in range(2):
+        for i in range(3):
             wh_i = os.path.join(wh, f"run{i}")
             run = CrawlRun(
                 spark, wh_i, pages, cfg, robots=robots,
@@ -159,6 +163,8 @@ def bench_crawl(
             t0 = time.time()
             stats = run.run(max_rounds=200)
             walls.append(time.time() - t0)
+            if len(walls) >= 2 and sorted(walls)[1] <= 1.10 * sorted(walls)[0]:
+                break  # two agreeing walls — the min is trustworthy
         wall = min(walls)
         urls = sum(s.get("selected", 0) for s in stats)
         return round(urls / wall / CPUS, 3), urls, round(wall, 2), [round(w, 2) for w in walls]
@@ -184,19 +190,24 @@ def main():
                            "BENCH_WALLS.json"), "w") as f:
         json.dump(walls_doc, f, indent=1)
     print(json.dumps(walls_doc))
-    line = json.dumps(
-        {
-            "metric": "frontier URLs/sec per core (full crawl engine)",
-            "value": ups_core,
-            "unit": "urls/sec/core",
-            "crawl_urls": urls,
-            "crawl_wall_s": crawl_wall,
-            "cores": CPUS,
-            "queries": queries,
-            "sf": float(sf),
-        },
-        separators=(",", ":"),
-    )
+    doc = {
+        "metric": "frontier URLs/sec per core (full crawl engine)",
+        "value": ups_core,
+        "unit": "urls/sec/core",
+        "crawl_urls": urls,
+        "crawl_wall_s": crawl_wall,
+        "cores": CPUS,
+        "queries": queries,
+        "sf": float(sf),
+    }
+    # Interference self-description: the headline is trustworthy only
+    # when a second wall corroborates the min within 10% — if even the
+    # three repeats never agreed (a co-tenant ate the box), flag it so
+    # the recorded number is never silently trusted.
+    sw = sorted(crawl_walls)
+    if len(sw) < 2 or sw[1] > 1.10 * sw[0]:
+        doc["noisy"] = True
+    line = json.dumps(doc, separators=(",", ":"))
     assert len(line) < 1900, f"final bench line too long ({len(line)} B)"
     print(line)
     spark.stop()
