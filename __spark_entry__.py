@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_prep": trainprep.training_prep,
         # multimodal plumbing (oracle-checkable fragment)
         "multimodal_binary_meta": multimodal.documents_as_binary,
+        # composed multimodal demo: asset table → decode/feature extract
+        # (Arrow mapInPandas) → banded ANN candidates → exact cosine
+        # verify — image near-dup pairs, fully oracle-checked via the
+        # deterministic fake decoder
+        "multimodal_embed_dedup": multimodal.image_embed_dedup,
         # URL-level dedup: 6-step codegen canonicalization (case, port,
         # www, fragment, utm params, trailing slash) → one hash aggregate
         "url_dedup": urls.url_dedup,
@@ -542,6 +547,49 @@ def _ivf_trained_oracle(n_cells: int = 8, n_probe: int = 2, n_iter: int = 3,
             FROM n JOIN a{n_iter} a ON a.vec_id = n.vec_id, q
             WHERE a.cell IN (SELECT cell FROM probe) AND n.vec_id <> {query_id})
         WHERE rank <= {k}
+    """
+
+
+def _multimodal_embed_dedup_oracle(n: int = 200, seed: int = 5,
+                                   threshold: float = 0.99) -> str:
+    """SQL replica of multimodal.image_embed_dedup: the features are a
+    pure function of (seed, asset_id) — the SEQUENTIAL pure-Python
+    replica (same synthesize_assets payload arithmetic + the same
+    sha1-seeded fake decoder) computes them here and embeds them as
+    VALUES (the r4 main-content/WARC oracle pattern), quantized through
+    float32 exactly as Spark's ArrayType(FloatType()) storage quantizes
+    them; DuckDB then does the ALL-PAIRS exact cosine the banded Spark
+    path must reproduce (banding recall 1 on the planted exact copies;
+    no natural pair approaches cos 0.99)."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from goskyr_spark.ops.multimodal import (
+        PLANT_N_ASSETS, PLANT_OFFSET_ASSETS, fake_decode_features)
+
+    def feat(i: int) -> list[float]:
+        payload = _hl.sha256(f"{seed}:{i}".encode()).digest() * (1 + i % 7)
+        return [float(_np.float32(x)) for x in fake_decode_features(payload)]
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:  # image assets only
+            rows.append((i, feat(i)))
+            if i < PLANT_N_ASSETS:
+                rows.append((i + PLANT_OFFSET_ASSETS, feat(i)))
+    vals = ",\n            ".join(
+        f"({aid}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])" for aid, v in rows
+    )
+    return f"""
+        WITH f(asset_id, v) AS (VALUES
+            {vals}),
+        n AS (SELECT asset_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM f)
+        SELECT CAST(a.asset_id AS BIGINT) AS asset_a,
+               CAST(b.asset_id AS BIGINT) AS asset_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        FROM n a JOIN n b ON a.asset_id < b.asset_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {threshold}
     """
 
 
@@ -1442,6 +1490,9 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5
             FROM documents
         """,
+        # sequential pure-Python feature replica embedded as VALUES →
+        # all-pairs exact cosine (see _multimodal_embed_dedup_oracle)
+        "multimodal_embed_dedup": _multimodal_embed_dedup_oracle(),
         # CCNet-style paragraph dedup: same planted corpus, same
         # fixed-width chunker, first occurrence by (doc_id, pos), docs
         # reassembled by string_agg in paragraph order (string_agg skips

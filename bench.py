@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "text_paragraph_dedup",
     "url_dedup",
     "quality_classifier",
+    "multimodal_embed_dedup",
     "crawl_link_rank",
 ]
 

@@ -2,11 +2,21 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` UDFs.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested. Everything Spark-side — schema,
-partitioning, UDF signature, batch shape — is real and tested, so
-swapping in PIL/libav on a real cluster changes one function body.
+The image decode step is REAL behind an optional import: when Pillow is
+installed on the cluster, ``decode_image`` decodes the payload and
+extracts a 16-dim luminance-thumbnail feature (executor-side import, so
+a PIL-less driver can still plan the job); in this sandbox (no PIL) the
+deterministic fake decoder stands in, and ``extract_features(fake=None)``
+auto-selects per availability. Audio/video decode remains an
+environment boundary (no libav here) — those media types always take
+the fake path. Everything Spark-side — schema, partitioning, UDF
+signature, batch shape — is identical in both modes.
+
+``image_embed_dedup`` is the composed demo the pipeline exists for:
+asset table → decode/feature-extract → hyperplane-banded ANN candidate
+generation → exact cosine verify (the same candidates→verify discipline
+as ops/dedup.embedding_cosine_dups), oracle-checked end-to-end via the
+deterministic fake features.
 
 Scale notes: media blobs dominate row size, so the asset table is
 stored separately from text and joined by content hash only when a
@@ -25,6 +35,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil():  # executor-side optional import
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -48,9 +67,28 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
-    """Real decode path — requires PIL/turbojpeg on the cluster."""
-    raise NotImplementedError("image decoding requires PIL; use fake=True in this sandbox")
+def decode_image(payload: bytes, dim: int = 16) -> list[float]:
+    """Real image decode → feature: Pillow decode, grayscale, resize to
+    a √dim×√dim thumbnail, per-image standardize — a tiny perceptual
+    embedding whose cosine is meaningful for near-exact dup detection
+    (re-encodes, resizes). Raises ``NotImplementedError`` when Pillow is
+    absent (this sandbox); ``extract_features(fake=None)`` auto-falls
+    back to the deterministic fake."""
+    Image = _pil()
+    if Image is None:  # pragma: no cover - env boundary
+        raise NotImplementedError(
+            "image decoding requires Pillow; use fake=True (or fake=None "
+            "for auto-fallback) in environments without it"
+        )
+    import io
+    import math
+
+    side = int(math.isqrt(dim))
+    assert side * side == dim, "dim must be a perfect square (thumbnail)"
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+    px = np.asarray(img, dtype=np.float64).ravel()
+    px = (px - px.mean()) / (px.std() + 1e-9)
+    return [float(x) for x in np.round(px, 6)]
 
 
 def fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
@@ -84,21 +122,29 @@ def synthesize_assets(spark: SparkSession, n: int = 200, seed: int = 5) -> DataF
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
-def extract_features(assets: DataFrame, fake: bool = True, dim: int = 16) -> DataFrame:
+def extract_features(
+    assets: DataFrame, fake: bool | None = True, dim: int = 16
+) -> DataFrame:
     """mapInPandas decode/feature pipeline over binary payloads —
-    Arrow-batched, no per-row Python crossing the wire."""
+    Arrow-batched, no per-row Python crossing the wire.
+
+    ``fake=True``: deterministic sha1-seeded features (oracle-checkable).
+    ``fake=False``: real decode (images via Pillow; raises without it).
+    ``fake=None``: auto — real image decode when Pillow imports on the
+    EXECUTOR, fake otherwise; audio/video always fake (no libav)."""
 
     def run(batches):
+        use_real = (fake is False) or (fake is None and _pil() is not None)
         for pdf in batches:
             feats, shas, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 b = bytes(payload)
                 sizes.append(len(b))
                 shas.append(hashlib.sha1(b).hexdigest())
-                if fake:
-                    feats.append(fake_decode_features(b, dim))
+                if use_real and mt == "image":
+                    feats.append(decode_image(b, dim))
                 else:
-                    feats.append(decode_image(b))
+                    feats.append(fake_decode_features(b, dim))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -122,6 +168,86 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("meta_duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
+    )
+
+
+PLANT_N_ASSETS = 30
+PLANT_OFFSET_ASSETS = 1_000_000
+
+
+def assets_with_planted_dups(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFrame:
+    """Asset table + exact re-uploads of the first ``PLANT_N_ASSETS``
+    payloads (same discipline as dedup.embedding_tables' planted
+    copies): the synthetic payloads have no natural near-dups, so the
+    planted pairs make the dedup result non-vacuous and exactly
+    predictable."""
+    assets = synthesize_assets(spark, n, seed)
+    copies = assets.filter(F.col("asset_id") < PLANT_N_ASSETS).withColumn(
+        "asset_id", F.col("asset_id") + F.lit(PLANT_OFFSET_ASSETS)
+    )
+    return assets.unionByName(copies)
+
+
+def image_embed_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 200,
+    threshold: float = 0.99,
+    n_planes: int = 48,
+    bands: int = 6,
+    dim: int = 16,
+) -> DataFrame:
+    """The composed multimodal demo: asset table → decode/feature
+    extraction (Arrow mapInPandas; deterministic fake features in this
+    sandbox, Pillow path on a real cluster) → hyperplane-banded ANN
+    candidate generation over the image features → EXACT cosine verify
+    — image near-duplicate pairs (asset_a, asset_b, cosine).
+
+    Scale shape: identical to ops/dedup.embedding_cosine_dups —
+    candidates are pairs sharing ≥1 of ``bands`` 8-bit sign-LSH band
+    values (never an all-pairs join), cosines are verified in double on
+    the candidate residue only. Exact re-uploads share every band, so
+    their recall is 1 by construction. ``sf_dir`` is unused (the asset
+    table is synthesized — no multimodal table in the driver corpus);
+    kept for the queries() signature."""
+    from .similarity import dot, hyperplane_band_values_np, with_norm
+
+    feats = extract_features(assets_with_planted_dups(spark, n), fake=True, dim=dim)
+    e = with_norm(
+        feats.filter(F.col("media_type") == "image").select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("feature").cast("array<double>").alias("embedding"),
+        )
+    )
+    banded = e.select(
+        "vec_id",
+        hyperplane_band_values_np(n_planes=n_planes, bands=bands, dim=dim)(
+            F.col("embedding")
+        ).alias("bv"),
+    )
+    # posexplode_outer + isNotNull — never a bare explode over an
+    # inline-computed array (InferFiltersFromGenerate, see CLAUDE.md)
+    long = banded.select(
+        "vec_id", F.posexplode_outer("bv").alias("band_idx", "band_val")
+    ).filter(F.col("band_val").isNotNull())
+    cand = (
+        long.alias("x")
+        .join(long.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("asset_a"), F.col("y.vec_id").alias("asset_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("asset_a"), F.col("embedding").alias("emb_a"),
+                  F.col("norm").alias("norm_a"))
+    eb = e.select(F.col("vec_id").alias("asset_b"), F.col("embedding").alias("emb_b"),
+                  F.col("norm").alias("norm_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        cand.join(ea, "asset_a")
+        .join(eb, "asset_b")
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("asset_a", "asset_b", "cosine")
     )
 
 

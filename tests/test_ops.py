@@ -306,16 +306,71 @@ def test_multimodal_feature_pipeline(spark):
     a0 = assets.filter(F.col("asset_id") == 0).first()
     assert by_id[0]["feature"] == pytest.approx(fake_decode_features(bytes(a0["payload"])), rel=1e-5)
     assert by_id[0]["n_bytes"] == len(bytes(a0["payload"]))
-    # real decoder is stubbed
-    from goskyr_spark.ops.multimodal import decode_image
+    # real decoder: optional-import boundary (raises without Pillow)
+    from goskyr_spark.ops.multimodal import _pil, decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+    if _pil() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx")
     # frame sampling plan: one row per sampled ts
     plan = frame_sample_plan(assets, every_ms=10000)
     vids = assets.filter("media_type = 'video'").collect()
     want = sum(1 + (v["meta_duration_ms"] - 1) // 10000 for v in vids)
     assert plan.count() == want
+
+
+def test_multimodal_auto_mode_falls_back_without_pil(spark):
+    """fake=None auto-selects: identical output to fake=True in a
+    PIL-less environment (this sandbox); on a cluster with Pillow the
+    image rows switch to the real decoder with the same schema."""
+    from goskyr_spark.ops.multimodal import _pil, extract_features, synthesize_assets
+
+    if _pil() is not None:
+        pytest.skip("Pillow present — auto mode takes the real path")
+    assets = synthesize_assets(spark, n=12)
+    auto = extract_features(assets, fake=None).collect()
+    fake = extract_features(assets, fake=True).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, fake))
+
+
+def test_decode_image_real_path_with_pillow(spark):
+    """Real decode gate — runs wherever Pillow is installed: a PNG
+    round-trip decodes to a 16-dim standardized thumbnail feature, and
+    a re-encode of the same pixels is an exact ANN dup (cosine 1)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    import math
+
+    from goskyr_spark.ops.multimodal import decode_image
+
+    img = PIL.new("L", (32, 32))
+    img.putdata([(x * 7 + y * 13) % 256 for y in range(32) for x in range(32)])
+    buf_png, buf_bmp = io.BytesIO(), io.BytesIO()
+    img.save(buf_png, "PNG")
+    img.save(buf_bmp, "BMP")
+    fa = decode_image(buf_png.getvalue())
+    fb = decode_image(buf_bmp.getvalue())  # different container, same pixels
+    assert len(fa) == 16
+    dot = sum(a * b for a, b in zip(fa, fb))
+    na, nb = math.sqrt(sum(a * a for a in fa)), math.sqrt(sum(b * b for b in fb))
+    assert dot / (na * nb) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_multimodal_embed_dedup_planted(spark):
+    """The composed demo finds exactly the planted image re-uploads:
+    10 pairs (i, i + PLANT_OFFSET_ASSETS) for image ids i < 30, cosine
+    1.0 — banded candidates → exact verify, recall 1 on exact copies."""
+    from goskyr_spark.ops.multimodal import (
+        PLANT_N_ASSETS, PLANT_OFFSET_ASSETS, image_embed_dedup)
+
+    rows = image_embed_dedup(spark, "unused").collect()
+    got = {(r["asset_a"], r["asset_b"]): r["cosine"] for r in rows}
+    want_keys = {
+        (i, i + PLANT_OFFSET_ASSETS)
+        for i in range(0, PLANT_N_ASSETS, 3)
+    }
+    assert set(got) == want_keys
+    assert all(c == pytest.approx(1.0, abs=1e-4) for c in got.values())
 
 
 def test_quality_signals_values(spark, mini_docs):
