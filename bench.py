@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "quality_classifier",
     "multimodal_embed_dedup",
+    "source_warc_read",
     "crawl_link_rank",
 ]
 

@@ -64,9 +64,12 @@ from .politeness import carryover, select_under_budget
 from .robots import admit_robots, host_budgets
 
 # priority classes: pagination continues the seed's BFS chain; detail pages
-# follow all list pages of their host (goskyr's order); generic links last.
+# follow all list pages of their host (goskyr's order); generic links last;
+# sitemap-discovered URLs (the passive discovery channel) after everything
+# actively linked, freshest lastmod first within the class.
 DETAIL_BASE = 1_000_000.0
 LINK_BASE = 2_000_000.0
+SITEMAP_BASE = 3_000_000.0
 
 FRONTIER_B = T.StructType(
     list(schemas.FRONTIER.fields) + [T.StructField("bucket", T.IntegerType(), True)]
@@ -390,11 +393,42 @@ class CrawlRun:
         ).write.mode("append").parquet(os.path.join(self.warehouse, "requeued"))
         add.write.mode("append").parquet(self._p("frontier", rnd))
 
-    def init(self, seed_urls: list[str]) -> None:
+    def init(self, seed_urls: list[str],
+             sitemap_seeds: DataFrame | None = None) -> None:
         """Round-0 frontier from the seed list; seeds get priorities
-        0..n-1 in list order (goskyr takes seeds in order)."""
+        0..n-1 in list order (goskyr takes seeds in order).
+
+        ``sitemap_seeds`` — a ``sitemaps.sitemap_frontier`` result
+        (url, lastmod, host) — unions the standard passive discovery
+        channel into round 0: every sitemap URL enters at the SITEMAP
+        priority class (after everything actively linked), ranked
+        freshest-``lastmod`` first within the class (priority =
+        SITEMAP_BASE − epoch-day(lastmod); missing lastmod ⇒ worst).
+        A URL that is both a seed and a sitemap entry keeps the seed
+        priority (to_frontier dedups to the minimum); admission and
+        robots filtering apply at round time exactly as for scraped
+        URLs. At 10^8 hosts the union is plan-only — the sitemap side
+        arrives host-partitioned from its own parse join."""
         rows = [(u, float(i), 0) for i, u in enumerate(seed_urls)]
         seeds = self.spark.createDataFrame(rows, "url string, priority double, depth int")
+        if sitemap_seeds is not None:
+            sm = sitemap_seeds.select(
+                "url",
+                (
+                    F.lit(SITEMAP_BASE)
+                    # try_to_date: lastmod is optional/free-form in the
+                    # protocol — unparseable ⇒ NULL ⇒ worst-in-class
+                    # (never an ANSI cast error inside the job)
+                    - F.coalesce(
+                        F.datediff(
+                            F.try_to_date("lastmod"), F.to_date(F.lit("1970-01-01"))
+                        ),
+                        F.lit(0),
+                    ).cast("double")
+                ).alias("priority"),
+                F.lit(0).alias("depth"),
+            )
+            seeds = seeds.unionByName(sm)
         frontier = to_frontier(seeds, self.spec, round_id=0).withColumn(
             "bucket", self.spec.bucket_col(F.col("url_hash"))
         )

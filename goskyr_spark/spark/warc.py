@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 WARC_FILE_SCHEMA = "file_id int, content binary"
 WARC_RECORD_SCHEMA = "url string, warc_ts timestamp, html binary"
@@ -163,3 +164,45 @@ def read_warc(files: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.select("content").mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def write_warc_dir(
+    spark: SparkSession, spec, out_dir: str, pages_per_file: int = 50
+) -> int:
+    """Materialize the corpus as REAL ``.warc`` files on disk (the
+    Common-Crawl replay fixture): each task writes its slice of files —
+    distributed side-effect write onto a shared filesystem, exactly how
+    a fetch fleet lands archives in production. Returns the file count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = generate_warc_files(spark, spec, pages_per_file)
+
+    def dump(batches):
+        for pdf in batches:
+            for fid, content in zip(pdf["file_id"], pdf["content"]):
+                tmp = os.path.join(out_dir, f".crawl-{int(fid):06d}.warc.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(content))
+                os.replace(tmp, os.path.join(out_dir, f"crawl-{int(fid):06d}.warc"))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    n = files.mapInPandas(dump, schema="n int").agg({"n": "sum"}).first()[0]
+    return int(n or 0)
+
+
+def pages_from_warc_dir(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """The Common-Crawl replay source: a directory of ``.warc`` files →
+    the pages table (url, warc_ts, html). ``binaryFile`` gives one row
+    per file (whole-file bytes — WARC records are not line-splittable),
+    so parsing parallelizes per file with NO shuffle, the same task
+    shape as ``read_warc`` over generated bytes. Feed the result
+    straight into ``CrawlRun(pages=…)`` — the fetch join needs only
+    (url, html)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(warc_dir)
+        .select(F.col("content"))
+    )
+    return read_warc(files)

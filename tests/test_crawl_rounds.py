@@ -271,6 +271,53 @@ def test_requeue_recrawl_exactly_once_more(spark, tmp_path):
     assert (counts.drop(targets) == 1).all()
 
 
+def test_sitemap_seeds_alter_round0_visit_order(spark, tmp_path):
+    """init(sitemap_seeds=…): the sitemap discovery channel enters the
+    round-0 frontier end-to-end — every sitemap URL is visited in the
+    SITEMAP priority class (after explicit seeds), freshest lastmod
+    first, lastmod-less entries last tie-broken by url; a URL that is
+    both a seed and a sitemap entry keeps its seed priority."""
+    import datetime
+
+    from goskyr_spark.crawl.sitemaps import _lastmod, generate_sitemaps, sitemap_frontier
+    from goskyr_spark.crawl.rounds import SITEMAP_BASE
+
+    spec = CorpusSpec(n_hosts=2, list_pages_per_host=2, items_per_page=2,
+                      mega_factor=1, seed=7)
+    pages = generate_pages(spark, spec).cache()
+    pages.count()
+    run = CrawlRun(
+        spark, str(tmp_path / "wh"), pages, combined_config_yaml(spec), robots=None,
+        bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+        default_budget=16, n_salts=4,
+    )
+    seed_url = spec.host_base(0) + "/list/0"
+    run.init([seed_url], sitemap_seeds=sitemap_frontier(generate_sitemaps(spark, spec)))
+    run.run(max_rounds=1)
+    visits = run.visit_log().toPandas()
+    r0 = visits[visits["round_id"] == 0]
+
+    def epoch_day(s: str) -> int:
+        return (datetime.date.fromisoformat(s) - datetime.date(1970, 1, 1)).days
+
+    for h in range(spec.n_hosts):
+        base = spec.host_base(h)
+        entries = []
+        for p in range(spec.list_pages_of(h)):
+            url = f"{base}/list/{p}"
+            pr = 0.0 if url == seed_url else SITEMAP_BASE - epoch_day(_lastmod(spec, h, p))
+            entries.append((pr, url))
+        for p in range(spec.list_pages_of(h)):
+            for i in range(spec.items_per_page):
+                entries.append((SITEMAP_BASE, f"{base}/item/{p}-{i}"))
+        want = [u for _, u in sorted(entries)]
+        host = base.split("//")[1]
+        got = (
+            r0[r0["host"] == host].sort_values("visit_rank")["url"].tolist()
+        )
+        assert got == want, (h, got, want)
+
+
 def test_to_frontier_catalyst_python_equivalence(spark):
     """frontier_triple's regex fast path (urlutil.SIMPLE_URL_RE) must be
     byte-identical to the canonical_url → host_of → registrable_domain

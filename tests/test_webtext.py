@@ -55,6 +55,49 @@ def test_warc_parser_honors_content_length_not_markers():
     ]
 
 
+def test_warc_dir_replay_drives_identical_crawl(spark, tmp_path):
+    """Common-Crawl replay mode end-to-end: write the corpus as real
+    .warc files, read them back via the binaryFile source
+    (pages_from_warc_dir), and drive a full multi-round crawl from the
+    replayed pages — byte-identical pages table AND identical visit log
+    vs the generated corpus."""
+    from goskyr_spark.crawl.bloom import BloomSpec
+    from goskyr_spark.crawl.rounds import CrawlRun
+    from goskyr_spark.spark.warc import pages_from_warc_dir, write_warc_dir
+
+    spec = CorpusSpec(n_hosts=2, list_pages_per_host=2, items_per_page=2,
+                      mega_factor=1, seed=7)
+    warc_dir = str(tmp_path / "warcs")
+    n_files = write_warc_dir(spark, spec, warc_dir, pages_per_file=5)
+    assert n_files == -(-spec.total_pages // 5)
+
+    replay = pages_from_warc_dir(spark, warc_dir)
+    # byte-equality gate vs the generated corpus
+    got = {r["url"]: (r["warc_ts"], bytes(r["html"])) for r in replay.collect()}
+    want = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in generate_pages(spark, spec).collect()
+    }
+    assert got == want
+
+    def visit_log_over(pages, wh):
+        cfg = spec.config_yaml().replace("id: n08a", "id: n08a\n  field: link")
+        run = CrawlRun(
+            spark, wh, pages, cfg, robots=None,
+            bloom_spec=BloomSpec(n_buckets=8, bits_per_bucket=1 << 14),
+            default_budget=16, n_salts=4, follow_links=True,
+        )
+        run.init(spec.seed_urls())
+        run.run(max_rounds=6)
+        return (
+            run.visit_log().orderBy("round_id", "host", "visit_rank").toPandas()
+        )
+
+    a = visit_log_over(replay, str(tmp_path / "wh_warc"))
+    b = visit_log_over(generate_pages(spark, spec), str(tmp_path / "wh_gen"))
+    assert a.equals(b)
+
+
 def test_warc_parser_skips_malformed_records():
     """A record with a non-integer Content-Length is skipped via marker
     resync; the rest of the file still parses (Common Crawl files do
