@@ -121,7 +121,14 @@ def corpus_link_edges(spark: SparkSession, spec) -> DataFrame:
     from ..spark.corpus import generate_pages
     from ..spark.extract_udf import parse_pages
 
-    pages = generate_pages(spark, spec)
+    # Right-size the parse to the corpus: each parse task pays a fixed
+    # init (config build, parser setup), so a tiny demo corpus at the
+    # session's full parallelism is ~all task overhead (measured 2.24 s
+    # → 1.68 s min at sf-demo scale by sizing to ≥8 pages/task);
+    # production corpora keep the session's parallelism.
+    parts = max(4, min(spark.sparkContext.defaultParallelism,
+                       spec.total_pages // 8))
+    pages = generate_pages(spark, spec, partitions=parts)
     parsed = parse_pages(pages, spec.config_yaml())
     return (
         parsed.select(
