@@ -773,13 +773,12 @@ def semantic_dedup(
     hook that lets the DuckDB oracle unroll the identical training, the
     same trick proven by ann_ivf_trained_topk). ``cell_row_budget`` is
     the in-cell pairwise guard: a cell whose row count exceeds it is
-    routed — inside the same Catalyst plan, no driver decision —
-    through a banded sign-LSH prefilter (shared band value required
-    before the exact cosine verify) instead of the full |cell|²
-    self-join; under-budget cells keep the exact pairwise. The split is
-    a data-dependent filter on a broadcast per-cell count, so the plan
-    is identical at every scale and the prefilter engages exactly where
-    Σ|cell|² would blow up (pinned by
+    routed through a banded sign-LSH prefilter (shared band value
+    required before the exact cosine verify) instead of the full
+    |cell|² self-join; under-budget cells keep the exact pairwise. The
+    split is an n_cells-row driver control read (the CC-sig/IVF-read
+    exception) so the prefilter branch enters the plan exactly where
+    Σ|cell|² would blow up and costs nothing elsewhere (pinned by
     tests/test_ops.py::test_semantic_dedup_oversized_cell_prefilter).
 
     ``plant=True`` unions exact copies of vec_id < PLANT_N (as
@@ -801,15 +800,14 @@ def semantic_dedup(
     canonicals with connected_components over (vec_id, keeper) when a
     canonical mapping is needed (pinned in
     tests/test_ops.py::test_semantic_dedup_non_transitive_chain)."""
-    from .similarity import _emb, train_ivf_centroids, with_norm
+    from .similarity import trained_centroids
 
     e, _ = embedding_tables(spark, sf_dir, plant=plant, with_banded=False)
     # Train on the RAW corpus (the planted copies are verification
     # scaffolding, not signal) — n_cells × dim floats to the driver, the
-    # documented IVF exception to the no-collect rule.
-    cents = train_ivf_centroids(
-        with_norm(_emb(spark, sf_dir)), n_cells=n_cells, n_iter=n_iter
-    )
+    # documented IVF exception to the no-collect rule; write-once per
+    # corpus (shared with ann_ivf_trained_topk via trained_centroids).
+    cents = trained_centroids(spark, sf_dir, n_cells=n_cells, n_iter=n_iter)
     return semantic_dedup_df(
         e, n_cells=n_cells, threshold=threshold, cents=cents,
         cell_row_budget=cell_row_budget,
@@ -841,13 +839,20 @@ def semantic_dedup_df(
             for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
         ]
     assigned = _with_cell(e, cents).select("vec_id", "embedding", "norm", "cell")
+    over_cells: list[int] = []
     if cell_row_budget is not None:
-        # data-dependent split INSIDE the plan: per-cell counts are
-        # n_cells rows — broadcast them back onto the assignment
-        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
-        assigned = assigned.join(F.broadcast(sizes), "cell")
-        in_budget = assigned.filter(F.col("cell_n") <= cell_row_budget)
-        over_budget = assigned.filter(F.col("cell_n") > cell_row_budget)
+        # n_cells-row control read (the connected_components sig() /
+        # IVF centroid-read exception): decide driver-side which cells
+        # exceed the budget, so the prefilter branch enters the plan
+        # ONLY where Σ|cell|² would actually blow up. An in-plan
+        # broadcast-count split was tried and LOSES ~2 s at sf0.1: the
+        # empty over-budget branch still schedules its Arrow UDF +
+        # self-join stages, and every row pays the sizes join.
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n")).collect()
+        over_cells = sorted(r["cell"] for r in sizes if r["cell_n"] > cell_row_budget)
+    if over_cells:
+        in_budget = assigned.filter(~F.col("cell").isin(over_cells))
+        over_budget = assigned.filter(F.col("cell").isin(over_cells))
     else:
         in_budget, over_budget = assigned, None
 

@@ -103,7 +103,9 @@ def fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
 
 def synthesize_assets(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFrame:
     """Deterministic opaque-binary asset table (distributed generate,
-    same pattern as the pages corpus)."""
+    same pattern as the pages corpus). Partitions sized to ≥32 assets
+    per task (same fixed-task-cost rationale as linkrank's corpus
+    parse); a real asset table arrives pre-partitioned from storage."""
 
     def gen(batches):
         for pdf in batches:
@@ -119,7 +121,8 @@ def synthesize_assets(spark: SparkSession, n: int = 200, seed: int = 5) -> DataF
                 columns=["asset_id", "media_type", "payload", "meta_width", "meta_height", "meta_duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+    parts = max(4, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def extract_features(
