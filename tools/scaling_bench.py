@@ -100,7 +100,7 @@ def run_at(cpus: int, hosts: int, body_words: int = 4000, repeats: int = 1) -> d
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     out = subprocess.run(
         [sys.executable, "-c", code],
-        cwd=REPO, capture_output=True, text=True, timeout=3600, env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=14400, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
